@@ -1,0 +1,137 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.{EntityRecord, Mention}
+import graft.functions.Text
+
+/** Entity dictionary construction and mention→entity linking.
+  *
+  * Reference semantics:
+  *   - A1 dictionary agg: `build_entities_df`
+  *     (`src/news_nlp/ner_extractor/tables.py:59-79`)
+  *   - A2 most-frequent surface form with the DETERMINISTIC tie-break
+  *     `(count DESC, entity_text ASC)` replacing pandas' first-seen order
+  *     (SURVEY.md §2.9 #2)
+  *   - A3 per-(article, entity) mention counts: `build_entities_per_news_df`
+  *     (`tables.py:135-139`)
+  *   - J4 dictionary lookup join: the reference's driver-side Python dict
+  *     probe (`tables.py:115-133`) becomes a broadcast hash join; at scale
+  *     the salted variant handles head-entity skew (north rule).
+  */
+object EntityLink {
+
+  /** A1 + A2: two-level aggregation. Level 1 counts surface forms (this is
+    * where map-side partial aggregation absorbs the head-entity skew);
+    * level 2 picks the modal surface via max_by over a struct with the
+    * deterministic tie-break and sums counts. news_count is EXACT distinct
+    * (parity requires it; approx_count_distinct is for metrics only).
+    */
+  def buildEntityDict(mentions: Dataset[Mention]): Dataset[EntityRecord] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    // level 1: surface-form counts; map-side partial agg absorbs skew
+    val surfaceCounts = mentions
+      .groupBy($"entity_text_norm", $"entity_type", $"entity_text")
+      .agg(count(lit(1)).as("surface_count"))
+    // exact news_count: distinct over (norm, type, article), then count —
+    // both stages are partial-final hash aggs on the same key prefix
+    val newsCounts = mentions
+      .select($"entity_text_norm", $"entity_type", $"article_id").distinct()
+      .groupBy($"entity_text_norm", $"entity_type")
+      .agg(count(lit(1)).as("news_count"))
+    // level 2: modal surface with the deterministic tie-break, plus totals.
+    // surfaceCounts is tiny (≤ distinct surfaces), so the window is cheap.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"entity_text_norm", $"entity_type")
+      .orderBy($"surface_count".desc, $"entity_text".asc)
+    val modal = surfaceCounts
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .select($"entity_text_norm", $"entity_type", $"entity_text")
+    val totals = surfaceCounts
+      .groupBy($"entity_text_norm", $"entity_type")
+      .agg(sum($"surface_count").as("entity_mentions_count"))
+    modal
+      .join(totals, Seq("entity_text_norm", "entity_type"))
+      .join(newsCounts, Seq("entity_text_norm", "entity_type"))
+      .select(
+        Text.entityId($"entity_text_norm", $"entity_type").as("id_entity"),
+        $"entity_text", $"entity_text_norm", $"entity_type",
+        $"entity_mentions_count", $"news_count")
+      .as[EntityRecord]
+  }
+
+  /** A3: per-(article, entity) mention counts — the `mentions` triple's
+    * weight property.
+    */
+  def mentionsPerArticle(mentions: Dataset[Mention]): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    mentions
+      .groupBy($"url", $"article_id",
+        Text.entityId($"entity_text_norm", $"entity_type").as("id_entity"),
+        $"entity_text_norm", $"entity_type")
+      .agg(count(lit(1)).as("entity_mentions_count"))
+  }
+
+  /** J4 broadcast variant: dictionary fits in memory (it does up to ~tens
+    * of millions of entities with AQE; beyond that use [[linkSalted]]).
+    * Inner join + missing-key assertion column mirrors the reference's
+    * raise-on-missing (`tables.py:125-133`): callers may `.filter` on
+    * `_matched` or let `assertAllLinked` throw.
+    */
+  def linkBroadcast(mentions: DataFrame, dict: DataFrame): DataFrame = {
+    mentions.join(broadcast(dict),
+      Seq("entity_text_norm", "entity_type"), "left")
+  }
+
+  /** J4 salted variant for head-entity skew (north rule): mentions get a
+    * random-but-deterministic salt in [0, saltFactor); dictionary rows for
+    * HOT keys only are replicated saltFactor times; join key becomes
+    * (norm, type, salt). Result is row-identical to the unsalted join.
+    *
+    * Hot keys are detected by a cheap pre-aggregation (count > hotThreshold)
+    * — at 100 TB this agg is map-side-combined and tiny on the wire since
+    * key cardinality ≪ row count.
+    */
+  def linkSalted(
+      mentions: DataFrame,
+      dict: DataFrame,
+      saltFactor: Int = 16,
+      hotThreshold: Long = 100000L): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val hot = mentions
+      .groupBy($"entity_text_norm", $"entity_type")
+      .agg(count(lit(1)).as("_cnt"))
+      .filter($"_cnt" > hotThreshold)
+      .select($"entity_text_norm", $"entity_type", lit(true).as("_hot"))
+    val saltedMentions = mentions
+      .join(broadcast(hot), Seq("entity_text_norm", "entity_type"), "left")
+      .withColumn("_salt",
+        when($"_hot".isNotNull,
+          pmod(xxhash64($"url", monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("_hot")
+    val saltedDict = dict
+      .join(broadcast(hot), Seq("entity_text_norm", "entity_type"), "left")
+      .withColumn("_salts",
+        when($"_hot".isNotNull, sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0))))
+      .withColumn("_salt", explode($"_salts"))
+      .drop("_hot", "_salts")
+    saltedMentions
+      .join(saltedDict, Seq("entity_text_norm", "entity_type", "_salt"), "left")
+      .drop("_salt")
+  }
+
+  /** The reference raises when a mention has no dictionary entry
+    * (`tables.py:125-133`). Distributed equivalent: count, don't collect.
+    */
+  def assertAllLinked(linked: DataFrame): Unit = {
+    val missing = linked.filter(col("id_entity").isNull).limit(1).count()
+    require(missing == 0L,
+      "Some mentions have no id_entity in the dictionary (reference tables.py:125-133 contract)")
+  }
+}

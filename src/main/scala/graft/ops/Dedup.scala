@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.util.Hashing
+
+/** Deduplication operators for web-scale corpus curation.
+  *
+  * Scale design: every variant is
+  *   candidate generation (narrow hash / explode + ONE shuffle on the
+  *   bucket key) → verification (joined only on candidates).
+  * Nothing materializes the O(n²) pair space; skew in bucket keys is
+  * bounded by construction (bucket = content hash, uniform).
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content. Returns one row per distinct
+    * text: canonical (min) id + duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  final case class MinHashParams(numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3, seed: Long = 7L) {
+    require(numHashes % bands == 0)
+    def rowsPerBand: Int = numHashes / bands
+    // odd multipliers + offsets from splitmix — a universal-ish hash family
+    @transient lazy val as: Array[Long] =
+      Array.tabulate(numHashes)(i => Hashing.splitmix64(seed + 2L * i) | 1L)
+    @transient lazy val bs: Array[Long] =
+      Array.tabulate(numHashes)(i => Hashing.splitmix64(seed + 2L * i + 1L))
+  }
+
+  def wordShingles(tokens: Array[String], k: Int): Iterator[String] =
+    if (tokens.length < k) Iterator.single(tokens.mkString(" "))
+    else tokens.sliding(k).map(_.mkString(" "))
+
+  /** MinHash signature of a document's shingle set. */
+  def signature(tokens: Array[String], p: MinHashParams): Array[Long] = {
+    val sig = Array.fill(p.numHashes)(Long.MaxValue)
+    wordShingles(tokens, p.shingleSize).foreach { sh =>
+      val h = Hashing.xxhash64(sh)
+      var i = 0
+      while (i < p.numHashes) {
+        val v = p.as(i) * h + p.bs(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join →
+    * verified Jaccard ≥ threshold. Output: (id_a, id_b, jaccard) with
+    * id_a < id_b.
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed path: (id, text) → minhash signature → (bandId, bandHash, id)
+    val withSig = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          val sig = signature(toks, p)
+          (0 until p.bands).iterator.map { b =>
+            var h = 1125899906842597L
+            var r = 0
+            while (r < p.rowsPerBand) { h = h * 31 + sig(b * p.rowsPerBand + r); r += 1 }
+            (b, h, id)
+          }
+        }
+      }.toDF("band", "band_hash", "id")
+    val candidates = withSig.as("l").join(withSig.as("r"),
+        $"l.band" === $"r.band" && $"l.band_hash" === $"r.band_hash" &&
+          $"l.id" < $"r.id")
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      .distinct()
+    verifyJaccard(docs, candidates, threshold, idCol, textCol, p.shingleSize)
+  }
+
+  /** Exact word-shingle Jaccard for candidate pairs. */
+  def verifyJaccard(
+      docs: DataFrame,
+      candidates: DataFrame,
+      threshold: Double,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, wordShingles(text.split(" ").filter(_.nonEmpty), shingleSize).toArray.distinct)
+      }.toDF("id", "shingles")
+    candidates
+      .join(sets.select($"id".as("id_a"), $"shingles".as("sh_a")), Seq("id_a"))
+      .join(sets.select($"id".as("id_b"), $"shingles".as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("double"))
+      .withColumn("uni", (size($"sh_a") + size($"sh_b") - size(array_intersect($"sh_a", $"sh_b"))).cast("double"))
+      .withColumn("jaccard", round($"inter" / $"uni", 4))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of a token multiset. */
+  def simhash(tokens: Array[String]): Long = {
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = Hashing.xxhash64(tokens(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs: 4 × 16-bit bands (pigeonhole: hamming ≤ 3 ⇒
+    * at least one identical band) → candidates → verify hamming ≤ maxHamming.
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash(text.split(" ").filter(_.nonEmpty))) }
+      .toDF("id", "sim")
+    val banded = sigs.select($"id", $"sim",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), ($"sim".bitwiseAND(lit(0xFFFFL << (16 * b)))).as("key"))): _*)).as("bk"))
+      .select($"id", $"sim", $"bk.band", $"bk.key")
+    val cands = banded.as("l").join(banded.as("r"),
+        $"l.band" === $"r.band" && $"l.key" === $"r.key" && $"l.id" < $"r.id")
+      .select($"l.id".as("id_a"), $"l.sim".as("sim_a"),
+        $"r.id".as("id_b"), $"r.sim".as("sim_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count($"sim_a".bitwiseXOR($"sim_b")))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
+  // ------------------------------------------------- n-gram Jaccard (SQL-able)
+
+  /** Strided character-shingle Jaccard pairs — deliberately expressible in
+    * plain SQL (the DuckDB oracle restates it): shingles are 12-char
+    * substrings at stride 4; pairs share ≥1 shingle; Jaccard over distinct
+    * shingle sets ≥ threshold.
+    */
+  def charShingleJaccard(docs: DataFrame, threshold: Double = 0.6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs
+      .select(col(idCol).as("id"),
+        explode_outer(expr(s"transform(sequence(1, greatest(length($textCol) - 11, 1), 4), i -> substring($textCol, i, 12))")).as("sh"))
+      .distinct()
+    val counts = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.id" < $"b.id")
+      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.select($"id".as("id_a"), $"n_sh".as("na")), Seq("id_a"))
+      .join(counts.select($"id".as("id_b"), $"n_sh".as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  // --------------------------------------- embedding cosine near-dup (LSH)
+
+  /** Near-duplicate pairs by embedding cosine: random-hyperplane LSH
+    * buckets (band of `bits` sign bits) → verified cosine ≥ threshold.
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      tables: Int = 4,
+      seed: Long = 11L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val planes = Similarity.randomPlanes(tables * bits, dim, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    val sigs = embeddings.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val pl = bc.value
+        it.flatMap { case (id, v) =>
+          (0 until tables).iterator.map { t =>
+            var key = 0L
+            var b = 0
+            while (b < bits) {
+              if (Similarity.dot(pl(t * bits + b), v) >= 0) key |= (1L << b)
+              b += 1
+            }
+            (t, key, id, v)
+          }
+        }
+      }.toDF("table", "key", "id", "v")
+    val cands = sigs.as("l").join(sigs.as("r"),
+        $"l.table" === $"r.table" && $"l.key" === $"r.key" && $"l.id" < $"r.id")
+      .select($"l.id".as("id_a"), $"l.v".as("va"), $"r.id".as("id_b"), $"r.v".as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    cands.as[(Long, Array[Double], Long, Array[Double])]
+      .map { case (a, va, b, vb) => (a, b, Similarity.cosine(va, vb)) }
+      .toDF("id_a", "id_b", "cosine")
+      .filter(round($"cosine", 4) >= threshold)
+      .withColumn("cosine", round($"cosine", 4))
+  }
+}

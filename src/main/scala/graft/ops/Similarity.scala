@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.Hashing
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k (the correctness baseline; pure Catalyst
+  *     expressions — zip_with + aggregate — so the DuckDB oracle can
+  *     restate it);
+  *   - LSH-bucketed ANN (random hyperplanes; the 100 TB scale path —
+  *     candidates come from one shuffle on the bucket key instead of a
+  *     full cross product).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (components in
+    * [-1, 1) from splitmix64 — normalization is irrelevant for sign tests).
+    */
+  def randomPlanes(count: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(count) { p =>
+      Array.tabulate(dim) { d =>
+        val bits = Hashing.splitmix64(seed + p.toLong * 131071L + d)
+        (bits.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val d = dot(a, b)
+    val na = math.sqrt(dot(a, a))
+    val nb = math.sqrt(dot(b, b))
+    if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+  }
+
+  /** Column-level cosine between an embedding column and a literal query
+    * vector, computed in double (left-to-right accumulation — matches the
+    * DuckDB list-function evaluation order).
+    */
+  def cosineToQuery(vec: Column, query: Array[Double]): Column = {
+    val q = typedLit(query)
+    val v = vec.cast("array<double>")
+    val dotC = aggregate(zip_with(v, q, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val nv = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val nq = lit(math.sqrt(dot(query, query)))
+    dotC / (nv * nq)
+  }
+
+  /** Brute-force cosine top-k for one query vector: scan all rows, rank by
+    * rounded cosine (round-then-rank keeps oracle ordering stable), take k.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      query: Array[Double],
+      k: Int = 10,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = excludeId.map(id => embeddings.filter(col(idCol) =!= id))
+      .getOrElse(embeddings)
+    base.select(col(idCol),
+        round(cosineToQuery(col(vecCol), query), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** ANN via hyperplane LSH: probe only the query's buckets across
+    * `tables` hash tables, then exact-rank the candidate union. Recall vs
+    * brute force is tested; at scale the bucketed scan touches
+    * ~candidates/n of the data and the bucket table can be partitioned by
+    * (table, key).
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      query: Array[Double],
+      k: Int = 10,
+      bits: Int = 10,
+      tables: Int = 8,
+      seed: Long = 11L,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = query.length
+    val planes = randomPlanes(tables * bits, dim, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    val queryKeys: Map[Int, Long] = (0 until tables).map { t =>
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        if (dot(planes(t * bits + b), query) >= 0) key |= (1L << b)
+        b += 1
+      }
+      t -> key
+    }.toMap
+    val qk = spark.sparkContext.broadcast(queryKeys)
+    val qv = spark.sparkContext.broadcast(query)
+    val base = excludeId.map(id => embeddings.filter(col(idCol) =!= id))
+      .getOrElse(embeddings)
+    base
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val pl = bc.value
+        val keys = qk.value
+        val q = qv.value
+        it.flatMap { case (id, v) =>
+          var t = 0
+          var hit = false
+          while (t < tables && !hit) {
+            var key = 0L
+            var b = 0
+            while (b < bits) {
+              if (dot(pl(t * bits + b), v) >= 0) key |= (1L << b)
+              b += 1
+            }
+            hit = keys(t) == key
+            t += 1
+          }
+          if (hit) Iterator.single((id, cosine(v, q))) else Iterator.empty
+        }
+      }
+      .toDF(idCol, "cosine")
+      .withColumn("cosine", round(col("cosine"), 4))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

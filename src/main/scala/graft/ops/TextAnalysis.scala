@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation — all pure Catalyst
+  * expression chains (codegen'd, no UDFs), designed to run inside the
+  * parquet scan stage at 100 TB (narrow, pushdown-friendly).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-ratio
+    * language-ID heuristic. Deterministic and SQL-expressible (the oracle
+    * re-states it in DuckDB SQL).
+    */
+  val enStops: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val esStops: Seq[String] = Seq("el", "la", "de", "y", "en", "que", "los")
+
+  private def hitCount(tokens: Column, stops: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(stops: _*)))
+
+  /** Language ID: stopword-hit vote between profiles; ties → "en". */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    val en = hitCount(toks, enStops)
+    val es = hitCount(toks, esStops)
+    when(en >= es, lit("en")).otherwise(lit("es"))
+  }
+
+  def langScores(text: Column): (Column, Column) = {
+    val toks = split(lower(text), " ")
+    (hitCount(toks, enStops), hitCount(toks, esStops))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, " "))
+
+  /** BPE-ish subword-ish token count: runs of word chars of length ≥ 2
+    * (the sklearn/reference token pattern) — a cheap proxy for tokenizer
+    * budget accounting.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("(?U)\\b\\w\\w+\\b"), lit(0)))
+
+  /** Quality metrics bundle: length, token counts, type/token ratio,
+    * stopword ratio, mean token length — each rounded to 4 decimals so the
+    * DuckDB oracle hash-matches despite engine-side double formatting.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val n = size(toks).cast("double")
+    val sw = hitCount(split(lower(text), " "), enStops).cast("double")
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tokens" -> size(toks).cast("long"),
+      "distinct_ratio" -> round(size(array_distinct(toks)) / n, 4),
+      "stopword_ratio" -> round(sw / n, 4),
+      "mean_token_len" -> round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 4))
+  }
+
+  /** Document fingerprint: order-sensitive rolling (Horner) hash of token
+    * hashes modulo a 31-bit prime — modular reduction at every step keeps
+    * the accumulator ANSI-overflow-safe (Spark 4 defaults to
+    * spark.sql.ansi.enabled=true, where a plain `acc * 31 + h` throws).
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(2147483629L) // prime < 2^31: acc*31 + h stays < 2^63
+    aggregate(split(text, " "), lit(1125899906842597L % 2147483629L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+  }
+}

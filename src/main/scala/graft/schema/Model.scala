@@ -1,0 +1,54 @@
+package graft.schema
+
+import java.sql.Timestamp
+
+/** Typed row models (Dataset encoders derive from these case classes).
+  * Input contract per BASELINE.json `input_hint`:
+  * (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+  */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** One detected entity mention. `article_id = xxhash64(url)` replaces the
+  * reference's BIGSERIAL id_news (SURVEY.md §1.4). Char offsets are kept
+  * for debugging parity with the reference API path (SURVEY.md §2.9 #5)
+  * but never participate in triple comparison.
+  */
+final case class Mention(
+    url: String,
+    article_id: Long,
+    entity_text: String,
+    entity_text_norm: String,
+    entity_type: String,
+    begin_char: Int,
+    end_char: Int)
+
+/** Entity-dictionary record ≙ reference `entities` table
+  * (`db/schema.sql:130-138`) with the deterministic id fix (§2.9 #1).
+  */
+final case class EntityRecord(
+    id_entity: Long,
+    entity_text: String,
+    entity_text_norm: String,
+    entity_type: String,
+    entity_mentions_count: Long,
+    news_count: Long)
+
+/** (subj, pred, obj) with an optional numeric property (e.g. the mention
+  * count carried by `entities_per_news`, `db/schema.sql:149-158`).
+  */
+final case class Triple(
+    subj: String,
+    pred: String,
+    obj: String,
+    weight: Long)
+
+object Pred {
+  val HasTopic = "hasTopic"   // ≙ topics_per_news   (db/schema.sql:106-119)
+  val Mentions = "mentions"   // ≙ entities_per_news (db/schema.sql:149-158)
+  val SameAs   = "sameAs"     // ≙ entity canonicalization (SURVEY.md §4.2)
+}
