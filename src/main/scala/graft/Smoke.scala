@@ -19,7 +19,7 @@ object Smoke {
     val t0 = System.nanoTime()
     val df = SparkEntry.entry(spark)
     val n = df.count()
-    println(s"[smoke] entry() rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1f sec")
+    println(f"[smoke] entry() rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1f sec")
     df.groupBy("pred").count().orderBy("pred").show(10, truncate = false)
     df.orderBy("subj", "pred", "obj").show(8, truncate = false)
     if (args.contains("--explain")) {

@@ -186,6 +186,7 @@ object SparkEntry {
     }),
     "q13_entity_link" -> ((s, d) => {
       val m = docMentions(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dict = EntityLink.buildEntityDict(m).toDF()
         .select(col("entity_text_norm"), col("entity_type"), col("news_count"))
       val perDoc = m.groupBy(col("url"), col("entity_text_norm"), col("entity_type"))
@@ -197,6 +198,7 @@ object SparkEntry {
     }),
     "q14_entity_link_salted" -> ((s, d) => {
       val m = docMentions(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dict = EntityLink.buildEntityDict(m).toDF()
         .select(col("entity_text_norm"), col("entity_type"), col("news_count"))
       val perDoc = m.groupBy(col("url"), col("entity_text_norm"), col("entity_type"))

@@ -50,7 +50,10 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // candidate label per node: min(own, min over neighbors' labels)
+      // candidate label per node: min(own, min over neighbors' labels).
+      // The convergence flag rides along in the same checkpointed pass, so
+      // each round is exactly one shuffle + one materialization — no extra
+      // compare-join job.
       val neighborMin = sym
         .join(labels.withColumnRenamed("node", "v"), Seq("v"))
         .groupBy($"u".as("node"))
@@ -58,12 +61,11 @@ object ConnectedComponents {
       val next = labels
         .join(neighborMin, Seq("node"), "left")
         .select($"node",
-          least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
+          least($"comp", coalesce($"ncomp", $"comp")).as("comp"),
+          ($"ncomp" < $"comp").as("_changed"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter($"n.comp" =!= $"o.comp")
-        .limit(1).count()
-      labels = next
+      val changed = next.filter($"_changed").limit(1).count()
+      labels = next.drop("_changed")
       converged = changed == 0L
       iter += 1
     }

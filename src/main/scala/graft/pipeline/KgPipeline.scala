@@ -55,8 +55,13 @@ object KgPipeline {
       cfg: Config): (Dataset[Mention], DataFrame, DataFrame) = {
     val spark = cleaned.sparkSession
     import spark.implicits._
+    // Mentions feed THREE consumers (surface counts, exact news_count,
+    // per-article counts) — persist so the NER scan runs once, not 3×.
+    // At 100 TB mentions ≪ pages (only matched spans survive), so this is
+    // the cheap thing to keep, not the input.
     val mentions = NerExtractor.extractMentions(
       cleaned, trie, cfg.keepTypes, textCol = "clean")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = EntityLink.buildEntityDict(mentions).toDF()
     val perArticle = EntityLink.mentionsPerArticle(mentions)
     val linked =
@@ -137,9 +142,14 @@ object KgPipeline {
     out
   }
 
-  /** Incremental run against a TripleStore: process only urls without
-    * committed `mentions` triples (J2 — checkpoint/resume primitive),
-    * then commit atomically. Returns number of triples committed.
+  /** Incremental run against a TripleStore: process only urls without a
+    * committed `processedIn` lineage marker (J2 — the checkpoint/resume
+    * primitive), then commit data triples + one marker per input page
+    * atomically. A killed run leaves no manifest entry, so retrying
+    * reprocesses exactly the uncommitted pages; a completed run is an
+    * exact no-op on retry (including zero-mention pages, which the
+    * reference's output-presence anti-join would re-run forever).
+    * Returns number of triples committed (markers included).
     */
   def runIncremental(
       store: TripleStore,
@@ -148,8 +158,16 @@ object KgPipeline {
       trie: Broadcast[TokenTrie],
       params: Broadcast[TopicModelParams],
       cfg: Config = Config()): Long = {
-    val todo = store.unprocessed(pages, Pred.Mentions)
-    if (todo.isEmpty) 0L
-    else store.commit(batchId, run(todo, trie, params, None, cfg))
+    val todo = store.unprocessed(pages, Pred.Processed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (todo.isEmpty) 0L
+      else {
+        val markers = todo.select(
+          col("url").as("subj"), lit(Pred.Processed).as("pred"),
+          lit(batchId).as("obj"), lit(1L).as("weight"))
+        store.commit(batchId, run(todo, trie, params, None, cfg).unionByName(markers))
+      }
+    } finally todo.unpersist(blocking = false)
   }
 }

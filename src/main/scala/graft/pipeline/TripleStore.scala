@@ -33,14 +33,32 @@ final class TripleStore(val root: String, spark: SparkSession) {
       .map(p => Paths.get(p).getFileName.toString)
       .filter(_.endsWith(".commit")).map(_.stripSuffix(".commit")).sorted
 
-  /** Atomically commit one batch of triples. Returns row count. */
+  /** Atomically commit one batch of triples. The manifest line carries
+    * per-partition lineage + metrics (north rule): one (file, rows) entry
+    * per task output file, plus per-predicate row counts.
+    * Returns total row count.
+    */
   def commit(batch: String, triples: DataFrame): Long = {
     val dir = dataDir(batch)
     triples.write.mode(SaveMode.Overwrite).parquet(dir)
-    val n = spark.read.parquet(dir).count()
+    val written = spark.read.parquet(dir)
+    val perPart = written
+      .groupBy(input_file_name().as("file")).count()
+      .collect()
+      .map(r => s"""{"file":"${r.getString(0).replace("\"", "")}","rows":${r.getLong(1)}}""")
+      .sorted
+    val perPred = written.groupBy(col("pred")).count().collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
+    val n = perPart.length match {
+      case 0 => 0L
+      case _ => written.count()
+    }
     val tmp = manifestDir.resolve(s"$batch.tmp")
     val fin = manifestDir.resolve(s"$batch.commit")
-    Files.writeString(tmp, s"""{"batch":"$batch","rows":$n,"path":"$dir"}\n""")
+    Files.writeString(tmp,
+      s"""{"batch":"$batch","rows":$n,"path":"$dir",""" +
+        s""""preds":${perPred.mkString("{", ",", "}")},""" +
+        s""""partitions":${perPart.mkString("[", ",", "]")}}""" + "\n")
     Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
     n
   }

@@ -51,4 +51,14 @@ object Pred {
   val HasTopic = "hasTopic"   // ≙ topics_per_news   (db/schema.sql:106-119)
   val Mentions = "mentions"   // ≙ entities_per_news (db/schema.sql:149-158)
   val SameAs   = "sameAs"     // ≙ entity canonicalization (SURVEY.md §4.2)
+
+  /** Lineage marker: one `(url, processedIn, batchId)` per INPUT page of a
+    * committed incremental batch. The reference's anti-join resume keys on
+    * output presence (`ner_extractor/db_io.py:37-55`), which silently
+    * reprocesses zero-entity articles every run; marking inputs instead
+    * makes resume exactly-once per page AND doubles as per-batch lineage
+    * (north rule). Data predicates above stay value-comparable vs the
+    * reference — markers are engine metadata.
+    */
+  val Processed = "processedIn"
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Dedup + similarity operators: candidate-generation/verification shape
+  * correctness at unit scale (the DuckDB oracle covers the SQL-expressible
+  * variants at sf scale).
+  */
+class DedupSpec extends SparkSpec {
+
+  private val base = ("spark engine builds distributed graphs " * 6).trim
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, base),
+      (1L, base),                                       // exact dup of 0
+      (2L, base.replaceFirst("graphs", "tables")),      // near dup of 0
+      (3L, "completely different text about nothing relevant at all today"),
+      (4L, "another unrelated document with its own vocabulary entirely")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min id") {
+    import spark.implicits._
+    val got = Dedup.exact(docs).as[(String, Long, Long)].collect()
+      .map { case (_, canon, n) => (canon, n) }.toSet
+    assert(got === Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    import spark.implicits._
+    val got = Dedup.minHashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((0L, 2L)) && got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact-dup pair has jaccard exactly 1.0
+    val j = Dedup.minHashLsh(docs, threshold = 0.5)
+      .filter($"id_a" === 0L && $"id_b" === 1L)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; near dups within threshold") {
+    import spark.implicits._
+    val got = Dedup.simHashPairs(docs, maxHamming = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0L, 1L)) === 0)
+    assert(got.get((0L, 2L)).exists(_ <= 6))
+    assert(!got.contains((3L, 4L)))
+  }
+
+  test("simhash scalar: hamming(simhash(a), simhash(b)) small iff overlap high") {
+    val a = Dedup.simhash(base.split(" "))
+    val b = Dedup.simhash(base.replaceFirst("graphs", "tables").split(" "))
+    val c = Dedup.simhash("totally disjoint token stream here".split(" "))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, a) === 0)
+    assert(ham(a, b) < ham(a, c))
+  }
+
+  test("embedding near-dup: scaled copies (cosine 1) found, orthogonal not") {
+    import spark.implicits._
+    val dim = 8
+    def unit(i: Int) = Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    val vecs = Seq(
+      (0L, unit(0)), (1L, unit(0).map(_ * 2f)), // cosine 1
+      (2L, unit(3)), (3L, Array.tabulate(dim)(j => (j + 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L)))
+  }
+
+  test("LSH ANN recall vs brute force ≥ 0.6 on a clustered corpus") {
+    import spark.implicits._
+    val dim = 16
+    val rng = new java.util.Random(7)
+    val q = Array.fill(dim)(rng.nextGaussian())
+    // 30 near neighbors (q + small noise), 200 random distractors
+    val rows = (0 until 30).map { i =>
+      (i.toLong, q.map(v => (v + 0.1 * rng.nextGaussian()).toFloat))
+    } ++ (30 until 230).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(df, q, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.lshTopK(df, q, k = 10, bits = 8, tables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall brute=$brute ann=$ann")
+  }
+
+  test("brute-force cosine matches driver-side math") {
+    import spark.implicits._
+    val q = Array(1.0, 0.0, 1.0)
+    val df = Seq((0L, Array(1.0f, 0.0f, 1.0f)), (1L, Array(0.5f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, q, k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) === 1.0)
+    val want = Similarity.cosine(Array(0.5, 1.0, 0.0), q)
+    assert(math.abs(got(1L) - math.rint(want * 10000) / 10000) <= 1e-4)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.fixtures.PageGen
+import graft.ner.FixtureGazetteer
+import graft.pipeline.{KgPipeline, TripleStore}
+import graft.schema.Pred
+
+/** End-to-end KG pipeline gates (north rule):
+  *   - triple parity P/R ≥ 0.95 vs the generator's exact ground truth,
+  *   - byte-identical extracted text per url,
+  *   - kill/resume: a killed job reprocesses exactly the uncommitted
+  *     pages and the union equals the single-shot run,
+  *   - determinism across partitioning.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val N = 240L
+
+  private lazy val trieBc = spark.sparkContext.broadcast(FixtureGazetteer.trie)
+  private lazy val paramsBc = spark.sparkContext.broadcast(SparkEntry.fixtureModel)
+  private def aliases = {
+    import spark.implicits._
+    FixtureGazetteer.aliasPairs.toDF("norm_a", "norm_b", "entity_type")
+  }
+
+  private lazy val fullRun: DataFrame = {
+    val out = KgPipeline.run(
+      PageGen.pages(spark, N).toDF(), trieBc, paramsBc, Some(aliases))
+      .persist()
+    out.count()
+    out
+  }
+
+  test("extracted text is byte-identical per url over the corpus") {
+    val cleaned = KgPipeline.withCleanText(PageGen.pages(spark, N).toDF())
+    assert(cleaned.filter(!col("text_identical")).count() === 0L)
+  }
+
+  test("mentions-triple parity vs ground truth: P = R = 1.0 (gate ≥ 0.95)") {
+    import spark.implicits._
+    val truth = PageGen.genPages(spark, N)
+      .flatMap(g => g.truth_mentions.map(m => (g.url, m)))
+      .toDF("url", "m").distinct()
+    val got = fullRun.filter($"pred" === Pred.Mentions)
+      .select($"subj".as("url"), $"obj".as("m"))
+    assert(got.count() === got.distinct().count()) // one triple per (url, entity)
+    val hit = got.join(truth, Seq("url", "m"), "left_semi").count().toDouble
+    val p = hit / got.count()
+    val r = hit / truth.count()
+    assert(p >= 0.95 && r >= 0.95, s"precision=$p recall=$r")
+    assert(p === 1.0 && r === 1.0)
+  }
+
+  test("exactly one hasTopic triple per page, topic in [0, k)") {
+    import spark.implicits._
+    val topics = fullRun.filter($"pred" === Pred.HasTopic)
+    assert(topics.count() === N)
+    assert(topics.select($"subj").distinct().count() === N)
+    val objs = topics.select($"obj").distinct().as[String].collect()
+    assert(objs.forall(o => o.startsWith("topic_") &&
+      o.stripPrefix("topic_").toInt < SparkEntry.fixtureModel.k))
+  }
+
+  test("sameAs triples canonicalize exactly the alias pairs present in the corpus") {
+    import spark.implicits._
+    val sameAs = fullRun.filter($"pred" === Pred.SameAs)
+      .select($"subj", $"obj").as[(String, String)].collect().toSet
+    // aliases (norm_a ↔ norm_b) whose BOTH sides were mentioned somewhere
+    val mentioned = fullRun.filter($"pred" === Pred.Mentions)
+      .select($"obj").distinct().as[String].collect().toSet
+    val expectedPairs = FixtureGazetteer.aliasPairs
+      .map { case (a, b, t) => (s"$a|$t", s"$b|$t") }
+      .filter { case (a, b) => mentioned.contains(a) && mentioned.contains(b) }
+    assert(expectedPairs.nonEmpty, "fixture must exercise the sameAs path")
+    expectedPairs.foreach { case (a, b) =>
+      // canonical = min entity id of the component; exactly one direction
+      assert(sameAs.contains((a, b)) ^ sameAs.contains((b, a)),
+        s"expected one sameAs direction for $a / $b in $sameAs")
+    }
+    assert(sameAs.size === expectedPairs.size)
+  }
+
+  test("pipeline output is invariant to input partitioning") {
+    import spark.implicits._
+    val repart = KgPipeline.run(
+      PageGen.pages(spark, N).toDF().repartition(13), trieBc, paramsBc, Some(aliases))
+    val a = fullRun.select("subj", "pred", "obj", "weight")
+      .as[(String, String, String, Long)].collect().toSet
+    val b = repart.select("subj", "pred", "obj", "weight")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("kill/resume: retry reprocesses exactly the uncommitted pages; " +
+    "union equals single-shot; completed store is a no-op") {
+    import spark.implicits._
+    val store = new TripleStore(
+      Files.createTempDirectory("graft_resume_").toString, spark)
+    val pages = PageGen.pages(spark, N).toDF()
+    val batch0 = pages.filter(xxhash64($"url") % 2 === 0)
+
+    // batch 0 commits; then a "killed" batch 1 writes data but no manifest
+    val n0 = KgPipeline.runIncremental(store, "b0", batch0, trieBc, paramsBc)
+    assert(n0 > 0L)
+    val afterB0 = store.unprocessed(pages, Pred.Processed).count()
+    assert(afterB0 === pages.count() - batch0.count(),
+      "resume must see exactly the non-committed pages")
+
+    // retry processes the remainder
+    val n1 = KgPipeline.runIncremental(store, "b1", pages, trieBc, paramsBc)
+    assert(n1 > 0L)
+    assert(store.unprocessed(pages, Pred.Processed).count() === 0L)
+
+    // a third run is an exact no-op (includes zero-mention pages)
+    val n2 = KgPipeline.runIncremental(store, "b2", pages, trieBc, paramsBc)
+    assert(n2 === 0L)
+
+    // incremental union == single-shot (data triples, sameAs excluded:
+    // canonicalization is global by design and recomputed per batch scope)
+    val incr = store.committed()
+      .filter($"pred" =!= Pred.Processed && $"pred" =!= Pred.SameAs)
+      .select("subj", "pred", "obj", "weight")
+      .as[(String, String, String, Long)].collect().toSet
+    val single = fullRun
+      .filter($"pred" =!= Pred.SameAs)
+      .select("subj", "pred", "obj", "weight")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(incr === single)
+  }
+
+  test("flagship entry() emits all three predicates with rows > 0") {
+    import spark.implicits._
+    val counts = SparkEntry.entry(spark)
+      .groupBy("pred").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse(Pred.Mentions, 0L) > 0L)
+    assert(counts.getOrElse(Pred.HasTopic, 0L) > 0L)
+    assert(counts.getOrElse(Pred.SameAs, 0L) > 0L)
+  }
+}

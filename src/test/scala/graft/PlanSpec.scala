@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions — the "would this survive 100×?" gates:
+  * dimension joins must broadcast, filters must reach the parquet scan,
+  * scans must prune columns, narrow stages must stay shuffle-free.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countShuffles(p: SparkPlan): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    var n = 0
+    p.foreach { case _: ShuffleExchangeLike => n += 1; case _ => () }
+    n
+  }
+
+  test("q03: all three dimension joins are broadcast (no shuffled join)") {
+    val p = plan("q03_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension joins must not sort-merge")
+  }
+
+  test("q01: the shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: scan prunes to exactly the referenced columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan must not read unused columns: $readSchema")
+  }
+
+  test("q04/q05: anti- and semi-joins use Spark's first-class join types") {
+    assert(plan("q04_anti_join").contains("LeftAnti"))
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+  }
+
+  test("NER + topic scoring stage is narrow: zero shuffles up to mentions") {
+    import org.apache.spark.sql.functions.col
+    val trie = spark.sparkContext.broadcast(graft.ner.FixtureGazetteer.trie)
+    val cleaned = graft.pipeline.KgPipeline.withCleanText(
+      graft.fixtures.PageGen.pages(spark, 100L).toDF())
+    val mentions = graft.ner.NerExtractor.extractMentions(
+      cleaned, trie, None, textCol = "clean").toDF()
+    assert(countShuffles(mentions.queryExecution.executedPlan) === 0,
+      "mention detection must not shuffle")
+    val scored = graft.topics.TopicScorer.assignTopics(
+      cleaned, spark.sparkContext.broadcast(SparkEntry.fixtureModel),
+      textCol = "clean").toDF()
+    assert(countShuffles(scored.queryExecution.executedPlan) === 0,
+      "topic scoring must not shuffle")
+  }
+
+  test("entity-link broadcast join plan contains a broadcast exchange") {
+    import spark.implicits._
+    val mentionsDf = Seq(("u1", "biden", "PERSON", 1L))
+      .toDF("url", "entity_text_norm", "entity_type", "n")
+    val dict = Seq(("biden", "PERSON", 7L))
+      .toDF("entity_text_norm", "entity_type", "id_entity")
+    val p = graft.link.EntityLink.linkBroadcast(mentionsDf, dict)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q07 clean_text stays inside whole-stage codegen (no UDF boundary)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val qe = SparkEntry.queries("q07_clean_text")(spark, sf).queryExecution
+    val codegen = qe.explainString(ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), codegen.take(500))
+    val p = qe.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // the whole clean chain is a single Project directly over the scan
+    assert(p.contains("regexp_replace") && p.contains("FileScan parquet"), p)
+  }
+}

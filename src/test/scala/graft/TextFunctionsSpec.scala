@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.util.Hashing
+
+/** Golden-byte fixtures for the scalar text transforms (FIXTURES.md §2).
+  * Expected values were produced by executing the reference functions
+  * (`src/news_nlp/preprocessing/text_cleaning.py:25-35`,
+  * `src/news_nlp/ner_extractor/tables.py:8-18`) during the survey.
+  */
+class TextFunctionsSpec extends SparkSpec {
+
+  /** (raw, expected) — the clean_text contract, including the ordering
+    * traps: whitespace collapse runs BEFORE URL removal (double space
+    * survives), Python `\s` is Unicode-aware (NBSP collapses).
+    */
+  val golden: Seq[(String, String)] = Seq(
+    "A  B\tC" -> "a b c",
+    "a\nb" -> "a b",
+    "see http://x.com/a?b=1 now" -> "see  now",
+    "A. http://u.rl B" -> "a.  b",
+    "end http://x.com" -> "end",
+    "https://a.b c" -> "c",
+    "x y" -> "x y",
+    "x y z" -> "x y z", // EM space + NBSP
+    "xy" -> "x y",          // FS control: Python \s matches, (?U)\s alone does NOT
+    "   " -> "",
+    "" -> "",
+    "MiXeD CaSe" -> "mixed case",
+    " plain  text\r\nwith lines " -> "plain text with lines",
+    "twohttp://a.b end" -> "two end")
+
+  test("cleanTextScala matches the reference golden bytes") {
+    golden.foreach { case (raw, expected) =>
+      assert(Text.cleanTextScala(raw) === expected, s"input=${raw.getBytes.toSeq}")
+    }
+    assert(Text.cleanTextScala(null) === "")
+  }
+
+  test("cleanText Column is byte-identical to the scalar twin") {
+    import spark.implicits._
+    val raws = golden.map(_._1) :+ null
+    val got = raws.toDF("raw")
+      .select(Text.cleanText(col("raw"))).as[String].collect()
+    val expected = golden.map(_._2) :+ ""
+    assert(got.toSeq === expected)
+  }
+
+  test("normalizeEntity = strip().lower(), internal whitespace preserved (P6)") {
+    import spark.implicits._
+    val cases = Seq(
+      " Joe Biden " -> "joe biden",
+      "ACME  Corp" -> "acme  corp", // internal run NOT collapsed (tables.py:18)
+      " Nbsp Edges " -> "nbsp edges",
+      "lower" -> "lower")
+    val got = cases.map(_._1).toDF("t")
+      .select(Text.normalizeEntity(col("t"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
+  test("batch assembly (P3) always inserts '. '; API assembly (P9) is conditional") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some("t"), Some("c")),
+      (None, Some("c")),
+      (Some(""), Some("c")),
+      (Some("t"), None)).toDF("title", "content")
+    val got = rows.select(
+      Text.assembleText(col("title"), col("content")),
+      Text.assembleTextApi(col("title"), col("content")))
+      .as[(String, Option[String])].collect().toSeq
+    assert(got === Seq(
+      ("t. c", Some("t. c")),
+      (". c", Some("c")),
+      (". c", Some("c")),
+      ("t. ", None))) // API path: null content stays null when title present
+  }
+
+  test("scalar xxhash64 equals the Catalyst expression bit-for-bit") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello world", "u.s.|GPE", "https://x/y?z")
+    val fromSpark = inputs.toDF("s")
+      .select(xxhash64(col("s"))).as[Long].collect()
+    assert(fromSpark.toSeq === inputs.map(Hashing.xxhash64(_)))
+    // two-arg chained-seed parity (entity ids)
+    val two = Seq(("biden", "PERSON"), ("u.s.", "GPE")).toDF("a", "b")
+      .select(xxhash64(col("a"), col("b"))).as[Long].collect()
+    assert(two.toSeq === Seq(
+      Hashing.xxhash64("biden", "PERSON"), Hashing.xxhash64("u.s.", "GPE")))
+  }
+
+  test("truncateForPrompt slices to n chars (P8)") {
+    import spark.implicits._
+    val got = Seq("x" * 9000).toDF("t")
+      .select(length(Text.truncateForPrompt(col("t")))).as[Int].head()
+    assert(got === 7500)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipeline.TripleStore
+
+/** Snapshot-commit semantics: only manifested batches are visible, resume
+  * anti-join, per-partition lineage metrics, predicated delete (S7).
+  */
+class TripleStoreSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_store_").toString
+
+  private def triples(rows: (String, String, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("subj", "pred", "obj", "weight")
+  }
+
+  test("commit is atomic: uncommitted data dirs are invisible") {
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    assert(store.committed().count() === 0L)
+    // simulate a killed job: data written, manifest never created
+    triples(("u1", "mentions", "e1", 1L)).write
+      .parquet(s"$root/data/batch=dead")
+    assert(store.committed().count() === 0L)
+    // a real commit to the same batch id overwrites the dangling dir
+    val n = store.commit("dead", triples(("u2", "mentions", "e2", 1L)))
+    assert(n === 1L)
+    val got = store.committed().select("subj").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("u2"))
+  }
+
+  test("manifest carries per-partition lineage and per-pred metrics") {
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    store.commit("b1", triples(
+      ("u1", "mentions", "e1", 1L), ("u1", "hasTopic", "t1", 1L)))
+    val manifest = Files.readString(
+      java.nio.file.Paths.get(root, "_manifest", "b1.commit"))
+    assert(manifest.contains(""""rows":2"""))
+    assert(manifest.contains(""""mentions":1"""))
+    assert(manifest.contains(""""hasTopic":1"""))
+    assert(manifest.contains(""""partitions":[{"file":"""))
+  }
+
+  test("unprocessed = anti-join against committed subjects of a predicate") {
+    import spark.implicits._
+    val store = new TripleStore(tmp(), spark)
+    store.commit("b1", triples(("u1", "processedIn", "b1", 1L)))
+    val pages = Seq("u1", "u2", "u3").toDF("url")
+    val todo = store.unprocessed(pages, "processedIn")
+      .as[String].collect().sorted.toSeq
+    assert(todo === Seq("u2", "u3"))
+  }
+
+  test("deleteWhere rewrites committed data (overwrite mode, S7)") {
+    val store = new TripleStore(tmp(), spark)
+    store.commit("b1", triples(
+      ("u1", "hasTopic", "t1", 1L), ("u2", "mentions", "e1", 1L)))
+    store.commit("b2", triples(("u3", "hasTopic", "t2", 1L)))
+    store.deleteWhere(col("pred") === "hasTopic")
+    val left = store.committed().select("subj").collect().map(_.getString(0))
+    assert(left.toSeq === Seq("u2"))
+  }
+}
