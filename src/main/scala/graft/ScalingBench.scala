@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fixtures.PageGen
+import graft.ner.FixtureGazetteer
+import graft.pipeline.KgPipeline
+
+/** The north rule's two-cluster-size evidence, sandbox protocol
+  * (BASELINE.md): run the IDENTICAL full KG pipeline job on the IDENTICAL
+  * staged input at two local parallelism levels (local[8] vs local[32] =
+  * N vs 4N cores) and report throughput at both plus scaling efficiency =
+  * (thr_4N / thr_N) / 4.
+  *
+  * Each level MUST run in a fresh JVM (separate `runMain` invocation): a
+  * shared JVM leaks JIT/GC/heap state from one level into the next and
+  * corrupts the comparison (measured: the second level ran 1.6× slower
+  * than the same level in a clean JVM). Protocol:
+  *
+  * {{{
+  * sbt "runMain graft.ScalingBench stage /tmp/pages 1000000"
+  * sbt "runMain graft.ScalingBench run /tmp/pages 8"    # N
+  * sbt "runMain graft.ScalingBench run /tmp/pages 32"   # 4N
+  * }}}
+  *
+  * Run EXCLUSIVELY — co-located load invalidates the numbers.
+  */
+object ScalingBench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def runPipeline(spark: SparkSession, inputDir: String): Long = {
+    val trie = spark.sparkContext.broadcast(FixtureGazetteer.trie)
+    val params = spark.sparkContext.broadcast(SparkEntry.fixtureModel)
+    import spark.implicits._
+    val aliases = FixtureGazetteer.aliasPairs.toDF("norm_a", "norm_b", "entity_type")
+    val pages = spark.read.parquet(inputDir)
+    val out = KgPipeline.run(pages, trie, params, Some(aliases))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one materialization: noop write evaluates every output row; the
+    // count then reads the cache
+    out.write.format("noop").mode("overwrite").save()
+    val n = out.count()
+    out.unpersist(blocking = false)
+    n
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "stage" :: dir :: pages :: Nil =>
+      val n = pages.toLong
+      val s = session(32)
+      PageGen.pages(s, n).toDF()
+        .repartition(128) // enough splits for the widest level
+        .write.mode("overwrite").parquet(dir)
+      println(s"""{"staged":"$dir","pages":$n}""")
+      s.stop()
+
+    case "run" :: dir :: cores :: Nil =>
+      val c = cores.toInt
+      SparkEntry.fixtureModel // train the frozen artifact before timing
+      val s = session(c)
+      // untimed warm-up at small scale: JIT, codegen, parquet reader init
+      val warm = Files.createTempDirectory("graft_scaling_warm_").toString
+      PageGen.pages(s, 2000L).toDF().write.mode("overwrite").parquet(warm)
+      runPipeline(s, warm)
+      val nPages = s.read.parquet(dir).count()
+      val t0 = System.nanoTime()
+      val triples = runPipeline(s, dir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"level":"local[$c]","cores":$c,"seconds":$sec%.2f,"pages":$nPages,"triples":$triples,"pages_per_sec":${nPages / sec}%.1f,"triples_per_sec":${triples / sec}%.1f}""")
+      s.stop()
+
+    case _ =>
+      System.err.println(
+        "usage: ScalingBench stage <dir> <pages> | ScalingBench run <dir> <cores>")
+      sys.exit(2)
+  }
+}

@@ -9,7 +9,7 @@ import graft.fixtures.PageGen
 import graft.functions.Text
 import graft.link.EntityLink
 import graft.ner.{FixtureGazetteer, GazEntry, NerExtractor, TokenTrie}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TopK}
 import graft.pipeline.KgPipeline
 import graft.streaming.MicroBatch
 import graft.topics.{FixtureTrainer, TopicModelParams, TopicScorer}
@@ -152,12 +152,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q09_vocab_topk" -> ((s, d) => {
+      // skew-free two-phase top-k: partitionBy(lang) alone would rank the
+      // whole per-language vocabulary in ONE task (lang cardinality ~2)
       val tok = docs(s, d).select(col("lang"),
         explode(split(col("text"), " ")).as("token"))
       val counts = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token").asc)
-      counts.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
+      TopK.perGroup(counts, Seq("lang"),
+          Seq(col("cnt").desc, col("token").asc), k = 10)
         .orderBy(col("lang"), col("rnk"))
     }),
     "q10_entity_dict" -> ((s, d) => {
@@ -337,6 +338,52 @@ object SparkEntry {
     "q34_simhash" -> ((s, d) => {
       Dedup.simHashPairs(docs(s, d), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- sources & model/topic dictionary tables ---
+    "q35_tsv_roundtrip" -> ((s, d) => {
+      // S2: TSV scan with required-column contract; written then re-read
+      // so the oracle (plain documents SELECT) checks the round trip
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_tsv_").toString
+      graft.sources.Tsv.write(
+        docs(s, d).select(col("doc_id"), col("lang"), col("text")), dir)
+      graft.sources.Tsv.read(s, dir, required = Seq("doc_id", "lang", "text"),
+          schemaDDL = Some("doc_id BIGINT, lang STRING, text STRING"))
+        .orderBy(col("doc_id"))
+    }),
+    "q36_terms_per_topic" -> ((s, _) => {
+      // A5+W1/W2 over the fixture corpus (model-based → rows-only check;
+      // semantics pinned in TopicTermsSpec)
+      val params = s.sparkContext.broadcast(fixtureModel)
+      val cleaned = KgPipeline.withCleanText(PageGen.pages(s, 500L).toDF())
+      graft.topics.TopicTerms.topTerms(cleaned, params, topN = 10)
+        .withColumn("weight", round(col("weight"), 6))
+        .orderBy(col("id_topic"), col("rank"))
+    }),
+    "q37_topics_table" -> ((s, _) => {
+      // A4 sizes + M5 deterministic naming → the `topics` table analogue
+      val params = s.sparkContext.broadcast(fixtureModel)
+      val cleaned = KgPipeline.withCleanText(PageGen.pages(s, 500L).toDF())
+      val terms = graft.topics.TopicTerms.topTerms(cleaned, params, topN = 5)
+      val sizes = graft.topics.TopicTerms.topicSizes(cleaned, params)
+      graft.topics.TopicNaming.nameTopics(terms, sizes,
+          graft.topics.TermTopicNamer)
+        .orderBy(col("id_topic"))
+    }),
+    "q39_neardup_clusters" -> ((s, d) => {
+      // cluster-shaped dedup output (doc → canonical); rows-only check,
+      // semantics pinned in DedupSpec
+      Dedup.nearDupClusters(docs(s, d), threshold = 0.8)
+        .orderBy(col("doc_id"))
+    }),
+    "q38_representative_docs" -> ((s, _) => {
+      // W3: top-3 docs nearest each topic centroid
+      val params = s.sparkContext.broadcast(fixtureModel)
+      val cleaned = KgPipeline.withCleanText(PageGen.pages(s, 500L).toDF())
+      graft.topics.TopicTerms.representativeDocs(cleaned, params, k = 3)
+        .withColumn("dist_centroid", round(col("dist_centroid"), 6))
+        .orderBy(col("id_topic"), col("rank"))
     })
   )
 
@@ -524,6 +571,8 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM documents c
                            WHERE c.doc_id = documents.doc_id AND c.doc_id % 3 = 0)
          ORDER BY doc_id""",
+    "q35_tsv_roundtrip" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
     "q30_text_assembly" ->
       """WITH t AS (SELECT c_custkey,
                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END AS title,

@@ -1,6 +1,6 @@
 package graft.canon
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -23,20 +23,70 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Adaptive entry point: alias graphs are DICTIONARY-sized (edges ≈
+    * alias pairs ≪ corpus rows), so up to `localMaxEdges` the component
+    * computation runs as driver-side union-find in O(E α(E)) — one collect
+    * of the deduped edge set instead of O(diameter) shuffle rounds. Beyond
+    * the threshold it falls back to the distributed HashMin loop ([[run]]).
+    * Both paths produce identical (node, comp=min-id) labels (pinned by
+    * CanonSpec).
+    */
+  def runAuto(edges: DataFrame, localMaxEdges: Long = 4000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = dedupe(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = e.count()
+      if (n == 0L) {
+        Seq.empty[(Long, Long)].toDF("node", "comp")
+      } else if (n <= localMaxEdges) {
+        val labels = unionFind(e.as[(Long, Long)].collect()).toSeq
+        spark.createDataset(labels).toDF("node", "comp")
+      } else run(e, preDeduped = true)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Driver-side union-find with union-by-min: the root of every tree is
+    * the min node id of its component, matching the distributed labels.
+    */
+  private[canon] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
+  }
+
+  private def dedupe(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select($"src".cast("long"), $"dst".cast("long"))
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+  }
+
   /** @param edges DataFrame with two long columns `src`, `dst`
     * @return DataFrame (node: Long, component: Long) — component is the
     *         min node id of the component (deterministic canonical label)
     */
-  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIterations: Int = 50, preDeduped: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
     // undirected, deduped, self-loops dropped
-    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
-      .filter($"src" =!= $"dst")
-      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .distinct()
-      .localCheckpoint()
+    val e = (if (preDeduped) edges else dedupe(edges)).localCheckpoint()
 
     val sym = e.select($"a".as("u"), $"b".as("v"))
       .union(e.select($"b".as("u"), $"a".as("v")))

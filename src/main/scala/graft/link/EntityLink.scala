@@ -40,20 +40,16 @@ object EntityLink {
       .select($"entity_text_norm", $"entity_type", $"article_id").distinct()
       .groupBy($"entity_text_norm", $"entity_type")
       .agg(count(lit(1)).as("news_count"))
-    // level 2: modal surface with the deterministic tie-break, plus totals.
-    // surfaceCounts is tiny (≤ distinct surfaces), so the window is cheap.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"entity_text_norm", $"entity_type")
-      .orderBy($"surface_count".desc, $"entity_text".asc)
-    val modal = surfaceCounts
-      .withColumn("_rn", row_number().over(w))
-      .filter($"_rn" === 1)
-      .select($"entity_text_norm", $"entity_type", $"entity_text")
-    val totals = surfaceCounts
+    // level 2 in ONE shuffle: the modal surface with the deterministic
+    // tie-break (count DESC, text ASC) is min_by over the ordering struct
+    // (-count, text) — no window, no extra join.
+    val modalAndTotals = surfaceCounts
       .groupBy($"entity_text_norm", $"entity_type")
-      .agg(sum($"surface_count").as("entity_mentions_count"))
-    modal
-      .join(totals, Seq("entity_text_norm", "entity_type"))
+      .agg(
+        min_by($"entity_text", struct((-$"surface_count").as("nc"), $"entity_text"))
+          .as("entity_text"),
+        sum($"surface_count").as("entity_mentions_count"))
+    modalAndTotals
       .join(newsCounts, Seq("entity_text_norm", "entity_type"))
       .select(
         Text.entityId($"entity_text_norm", $"entity_type").as("id_entity"),

@@ -87,6 +87,29 @@ object Dedup {
     verifyJaccard(docs, candidates, threshold, idCol, textCol, p.shingleSize)
   }
 
+  /** Near-dup CLUSTERS: the shape a corpus-curation pass actually needs at
+    * 100 TB — instead of materializing all O(cluster²) duplicate pairs,
+    * collapse the candidate-pair graph with connected components and emit
+    * one (doc_id, canonical_id) row per document (canonical = min id in
+    * its near-dup cluster; singletons map to themselves). Downstream
+    * "keep one per cluster" is then `filter(doc_id === canonical_id)`.
+    */
+  def nearDupClusters(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = minHashLsh(docs, threshold, p, idCol, textCol)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val labels = graft.canon.ConnectedComponents.runAuto(pairs)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("canonical_id"))
+  }
+
   /** Exact word-shingle Jaccard for candidate pairs. */
   def verifyJaccard(
       docs: DataFrame,

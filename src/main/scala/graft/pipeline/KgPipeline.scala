@@ -45,7 +45,7 @@ object KgPipeline {
     pages
       .withColumn("extracted_text", Registry.htmlToText(col("html")))
       .withColumn("text_identical", col("extracted_text") === col("text"))
-      .withColumn("clean", Text.cleanText(col("extracted_text")))
+      .withColumn("clean", Registry.cleanTextFast(col("extracted_text")))
   }
 
   /** Mentions triple path: NER → dictionary → canonical sameAs edges. */
@@ -62,7 +62,10 @@ object KgPipeline {
     val mentions = NerExtractor.extractMentions(
       cleaned, trie, cfg.keepTypes, textCol = "clean")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the dictionary is consumed twice by canonicalization (edge build and
+    // key render) and optionally by the salted link — persist it too
     val dict = EntityLink.buildEntityDict(mentions).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perArticle = EntityLink.mentionsPerArticle(mentions)
     val linked =
       if (cfg.saltedLink)
@@ -96,20 +99,19 @@ object KgPipeline {
       .join(idByNorm.withColumnRenamed("entity_text_norm", "norm_b")
         .withColumnRenamed("id_entity", "dst"), Seq("norm_b", "entity_type"))
       .select($"src", $"dst")
-    if (edges.isEmpty) {
-      Seq.empty[(String, String, String, Long)].toDF("subj", "pred", "obj", "weight")
-    } else {
-      val labels = ConnectedComponents.run(edges)
-      val idToKey = dict.select($"id_entity",
-        concat($"entity_text_norm", lit("|"), $"entity_type").as("key"))
-      labels.filter($"node" =!= $"comp")
-        .join(idToKey.withColumnRenamed("id_entity", "node")
-          .withColumnRenamed("key", "subj_key"), Seq("node"))
-        .join(idToKey.withColumnRenamed("id_entity", "comp")
-          .withColumnRenamed("key", "obj_key"), Seq("comp"))
-        .select($"subj_key".as("subj"), lit(Pred.SameAs).as("pred"),
-          $"obj_key".as("obj"), lit(1L).as("weight"))
-    }
+    // runAuto handles the empty/small/large regimes (alias graphs are
+    // dictionary-sized → usually the driver union-find path); empty labels
+    // fall through to an empty join result, no extra isEmpty job.
+    val labels = ConnectedComponents.runAuto(edges)
+    val idToKey = dict.select($"id_entity",
+      concat($"entity_text_norm", lit("|"), $"entity_type").as("key"))
+    labels.filter($"node" =!= $"comp")
+      .join(idToKey.withColumnRenamed("id_entity", "node")
+        .withColumnRenamed("key", "subj_key"), Seq("node"))
+      .join(idToKey.withColumnRenamed("id_entity", "comp")
+        .withColumnRenamed("key", "obj_key"), Seq("comp"))
+      .select($"subj_key".as("subj"), lit(Pred.SameAs).as("pred"),
+        $"obj_key".as("obj"), lit(1L).as("weight"))
   }
 
   def topicTriples(cleaned: DataFrame, params: Broadcast[TopicModelParams]): DataFrame = {

@@ -1,0 +1,145 @@
+package graft.topics
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.{CountVectorizer, IDF, NGram, RegexTokenizer}
+import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+import org.apache.spark.mllib.linalg.distributed.RowMatrix
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed training of the topic model — the reference's
+  * `02_topics_detector_train_pipeline.py` re-expressed on Spark ML:
+  *
+  *   TfidfVectorizer(max_features, min_df, max_df, ngram (1,2))
+  *     → RegexTokenizer + NGram(2) + CountVectorizer(vocabSize,minDF,maxDF)
+  *       + IDF (sklearn smooth-idf = Spark idf + 1)
+  *   TruncatedSVD(n_components)   → RowMatrix.computeSVD (V projection)
+  *   Normalizer                   → row L2 normalize
+  *   KMeans(k, seed)              → spark.ml KMeans
+  *   silhouette                   → ClusteringEvaluator (−1.0 if k<2,
+  *                                  reference model.py:141-144)
+  *
+  * Training parity vs sklearn is TOLERANCE-only (randomized SVD/KMeans are
+  * seed/impl-specific — SURVEY.md §7.4 #6); what must be exact is
+  * INFERENCE given the returned frozen [[TopicModelParams]], which is the
+  * same scorer used for the fixture model.
+  *
+  * Scale notes: one pass fits CountVectorizer (distributed agg), one fits
+  * IDF, SVD runs on the sparse TF-IDF RowMatrix (Gramian/ARPACK — switches
+  * to the distributed path automatically above ~1k columns), KMeans runs
+  * on the dense n×nComponents reduction. The wide vocab matrix V
+  * (vocab × nComponents) returns to the driver and is broadcast at
+  * inference, exactly like the reference's joblib artifact.
+  */
+object DistributedTrainer {
+
+  final case class Config(
+      vocabSize: Int = 512,
+      minDf: Double = 2.0,
+      maxDf: Double = 0.7,
+      nComponents: Int = 8,
+      k: Int = 6,
+      seed: Long = 31415L)
+
+  /** @param cleaned DataFrame with an already-cleaned text column
+    * @return (frozen model params, training silhouette)
+    */
+  def train(
+      cleaned: DataFrame,
+      textCol: String = "clean",
+      cfg: Config = Config()): (TopicModelParams, Double) = {
+    val spark = cleaned.sparkSession
+
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("_toks")
+      .setPattern("(?U)\\b\\w\\w+\\b").setGaps(false)
+      .setToLowercase(false) // text is already cleanText-lowercased
+    val bi = new NGram().setN(2).setInputCol("_toks").setOutputCol("_bi")
+    val grams = bi.transform(tok.transform(cleaned.select(col(textCol))))
+      .withColumn("_grams", concat(col("_toks"), col("_bi")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val cvModel = new CountVectorizer()
+      .setInputCol("_grams").setOutputCol("_counts")
+      .setVocabSize(cfg.vocabSize).setMinDF(cfg.minDf).setMaxDF(cfg.maxDf)
+      .fit(grams)
+    val vocab = cvModel.vocabulary
+    val counts = cvModel.transform(grams)
+
+    // sklearn smooth idf = ln((1+n)/(1+df)) + 1 = Spark IDF + 1
+    val idfSk = new IDF().setInputCol("_counts").setOutputCol("_x")
+      .fit(counts).idf.toArray.map(_ + 1.0)
+    val idfBc = spark.sparkContext.broadcast(idfSk)
+
+    // L2-normalized tf*idf rows (exact TfidfVectorizer.transform output)
+    val tfidf = counts.select("_counts").rdd.map { row =>
+      val v = row.getAs[org.apache.spark.ml.linalg.SparseVector](0)
+      val idf = idfBc.value
+      val vals = new Array[Double](v.indices.length)
+      var norm = 0.0
+      var i = 0
+      while (i < v.indices.length) {
+        vals(i) = v.values(i) * idf(v.indices(i))
+        norm += vals(i) * vals(i)
+        i += 1
+      }
+      if (norm > 0) {
+        val inv = 1.0 / math.sqrt(norm)
+        i = 0
+        while (i < vals.length) { vals(i) *= inv; i += 1 }
+      }
+      OldVectors.sparse(v.size, v.indices, vals)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    tfidf.count()
+    grams.unpersist(blocking = false)
+
+    // TruncatedSVD: V from the sparse RowMatrix; transform is X·V
+    val svd = new RowMatrix(tfidf).computeSVD(cfg.nComponents, computeU = false)
+    val components = Array.tabulate(vocab.length, cfg.nComponents)(
+      (i, j) => svd.V(i, j))
+    val compsBc = spark.sparkContext.broadcast(components)
+
+    // reduced + Normalizer, then KMeans on the dense low-dim rows
+    val reduced = tfidf.map { v =>
+      val sv = v.asInstanceOf[org.apache.spark.mllib.linalg.SparseVector]
+      val comps = compsBc.value
+      val out = new Array[Double](cfg.nComponents)
+      var p = 0
+      while (p < sv.indices.length) {
+        val row = comps(sv.indices(p))
+        val x = sv.values(p)
+        var j = 0
+        while (j < cfg.nComponents) { out(j) += x * row(j); j += 1 }
+        p += 1
+      }
+      var norm = 0.0
+      var j = 0
+      while (j < cfg.nComponents) { norm += out(j) * out(j); j += 1 }
+      if (norm > 0) {
+        val inv = 1.0 / math.sqrt(norm)
+        j = 0
+        while (j < cfg.nComponents) { out(j) *= inv; j += 1 }
+      }
+      Tuple1(org.apache.spark.ml.linalg.Vectors.dense(out))
+    }
+    val redDf = spark.createDataFrame(reduced).toDF("features")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val kmModel = new KMeans()
+      .setK(cfg.k).setSeed(cfg.seed).setFeaturesCol("features")
+      .fit(redDf)
+    val centroids = kmModel.clusterCenters.map(_.toArray)
+
+    val silhouette =
+      if (cfg.k < 2) -1.0 // reference model.py:141-144
+      else new ClusteringEvaluator()
+        .setFeaturesCol("features").setPredictionCol("prediction")
+        .evaluate(kmModel.transform(redDf))
+
+    redDf.unpersist(blocking = false)
+    tfidf.unpersist(blocking = false)
+    (TopicModelParams(vocab, idfSk, components, centroids), silhouette)
+  }
+}

@@ -40,6 +40,27 @@ class CanonSpec extends SparkSpec {
     assert(a.contains(100L -> 100L) && a.contains(101L -> 100L))
   }
 
+  test("runAuto (driver union-find) produces labels identical to the distributed loop") {
+    import spark.implicits._
+    val rng = new java.util.Random(5)
+    val edges = (0 until 500).map(_ =>
+      (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+    val df = edges.toDF("src", "dst")
+    val auto = ConnectedComponents.runAuto(df).as[(Long, Long)].collect().toSet
+    val dist = ConnectedComponents.run(df).as[(Long, Long)].collect().toSet
+    assert(auto === dist)
+    // and the large-graph fallback path is the same computation
+    val forced = ConnectedComponents.runAuto(df, localMaxEdges = 1L)
+      .as[(Long, Long)].collect().toSet
+    assert(forced === dist)
+  }
+
+  test("runAuto on an empty edge set returns empty labels") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.runAuto(empty).count() === 0L)
+  }
+
   test("sameAsTriples keeps only non-canonical nodes") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "comp")

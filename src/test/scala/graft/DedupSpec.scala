@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("nearDupClusters: one canonical per near-dup cluster, singletons map to self") {
+    import spark.implicits._
+    val got = Dedup.nearDupClusters(docs, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+    // "keep one per cluster" view
+    val kept = got.filter { case (d, c) => d == c }.keySet
+    assert(kept === Set(0L, 3L, 4L))
+  }
+
   test("simhash: identical docs at hamming 0; near dups within threshold") {
     import spark.implicits._
     val got = Dedup.simHashPairs(docs, maxHamming = 6)

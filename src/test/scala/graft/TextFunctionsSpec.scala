@@ -90,6 +90,28 @@ class TextFunctionsSpec extends SparkSpec {
       Hashing.xxhash64("biden", "PERSON"), Hashing.xxhash64("u.s.", "GPE")))
   }
 
+  test("clean_text_fast codegen Expression is byte-identical to the regex chain") {
+    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
+    // golden cases + deterministic fuzz over a hostile palette
+    val palette = "ab h t p : / . ? & % \t\n\r       　 http https HTTP xhttp МОСКВА École 中文 😀".toCharArray
+    val rng = new java.util.Random(99)
+    val fuzz = (0 until 800).map { _ =>
+      val len = rng.nextInt(60)
+      new String(Array.fill(len)(palette(rng.nextInt(palette.length))))
+    }
+    val raws = golden.map(_._1) ++ fuzz
+    val rows = raws.toDF("raw").select(
+      graft.functions.Text.cleanText(col("raw")).as("slow"),
+      graft.functions.Registry.cleanTextFast(col("raw")).as("fast"))
+    val mismatch = rows.filter(col("slow") =!= col("fast")).collect()
+    assert(mismatch.isEmpty, mismatch.take(5).mkString("\n"))
+    // null handling matches the coalesce contract
+    val n = Seq(Option.empty[String]).toDF("raw")
+      .select(graft.functions.Registry.cleanTextFast(col("raw"))).as[String].head()
+    assert(n === "")
+  }
+
   test("truncateForPrompt slices to n chars (P8)") {
     import spark.implicits._
     val got = Seq("x" * 9000).toDF("t")
