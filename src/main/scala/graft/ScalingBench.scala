@@ -30,10 +30,20 @@ import graft.pipeline.KgPipeline
 object ScalingBench {
 
   private def session(cores: Int): SparkSession = {
+    // Shuffle/spill dir on tmpfs: a production executor writes shuffle to
+    // node-local NVMe that scales WITH the executor count; this VM's one
+    // shared block device does not, so it would impose a false serial
+    // floor on the N-vs-4N comparison. RAM-backed local dirs model the
+    // per-node-storage property the protocol needs.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft_local")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      // 3 shuffle partitions per core: multiple waves load-balance the
+      // stage tail (a single wave leaves cores idle behind stragglers)
+      .config("spark.sql.shuffle.partitions", cores * 3)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -48,13 +58,14 @@ object ScalingBench {
     val aliases = FixtureGazetteer.aliasPairs.toDF("norm_a", "norm_b", "entity_type")
     val pages = spark.read.parquet(inputDir)
     val out = KgPipeline.run(pages, trie, params, Some(aliases))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one materialization: noop write evaluates every output row; the
-    // count then reads the cache
-    out.write.format("noop").mode("overwrite").save()
-    val n = out.count()
-    out.unpersist(blocking = false)
-    n
+    // ONE materialization: the noop write evaluates every output row and
+    // the Observation counts them in the same job — no second pass, no
+    // cache of the result
+    val obs = new org.apache.spark.sql.Observation()
+    out.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    obs.get("n").asInstanceOf[Long]
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -71,6 +82,20 @@ object ScalingBench {
       val c = cores.toInt
       SparkEntry.fixtureModel // train the frozen artifact before timing
       val s = session(c)
+      if (sys.env.contains("SPARK_GRAFT_STAGE_METRICS")) {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val i = sc.stageInfo
+              val m = i.taskMetrics
+              println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d " +
+                f"run=${m.executorRunTime / 1000.0}%8.1fs " +
+                f"cpu=${m.executorCpuTime / 1e9}%8.1fs " +
+                f"gc=${m.jvmGCTime / 1000.0}%7.1fs  ${i.name.take(60)}")
+            }
+          })
+      }
       // untimed warm-up at small scale: JIT, codegen, parquet reader init
       val warm = Files.createTempDirectory("graft_scaling_warm_").toString
       PageGen.pages(s, 2000L).toDF().write.mode("overwrite").parquet(warm)

@@ -30,19 +30,31 @@ object EntityLink {
   def buildEntityDict(mentions: Dataset[Mention]): Dataset[EntityRecord] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    // level 1: surface-form counts; map-side partial agg absorbs skew
-    val surfaceCounts = mentions
+    dictFromSurfaceRows(mentions
+      .select($"article_id".cast("string").as("url"), $"entity_text_norm",
+        $"entity_type", $"entity_text", lit(1L).as("n")))
+  }
+
+  /** Dictionary from (url, norm, type, surface, n) rows — `n` may be a
+    * per-page pre-aggregated count (the fused analyzer's output) or 1 per
+    * raw mention; the result is identical (pinned by EntityLinkSpec).
+    *
+    * Level 1 counts surfaces (map-side partial agg absorbs head-entity
+    * skew); level 2 resolves the modal surface in ONE shuffle via min_by
+    * over the ordering struct (-count, text) — the deterministic
+    * tie-break (count DESC, text ASC) — no window, no extra join.
+    * news_count is EXACT distinct (parity requires it).
+    */
+  def dictFromSurfaceRows(rows: DataFrame): Dataset[EntityRecord] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val surfaceCounts = rows
       .groupBy($"entity_text_norm", $"entity_type", $"entity_text")
-      .agg(count(lit(1)).as("surface_count"))
-    // exact news_count: distinct over (norm, type, article), then count —
-    // both stages are partial-final hash aggs on the same key prefix
-    val newsCounts = mentions
-      .select($"entity_text_norm", $"entity_type", $"article_id").distinct()
+      .agg(sum($"n").as("surface_count"))
+    val newsCounts = rows
+      .select($"entity_text_norm", $"entity_type", $"url").distinct()
       .groupBy($"entity_text_norm", $"entity_type")
       .agg(count(lit(1)).as("news_count"))
-    // level 2 in ONE shuffle: the modal surface with the deterministic
-    // tie-break (count DESC, text ASC) is min_by over the ordering struct
-    // (-count, text) — no window, no extra join.
     val modalAndTotals = surfaceCounts
       .groupBy($"entity_text_norm", $"entity_type")
       .agg(
@@ -64,8 +76,10 @@ object EntityLink {
   def mentionsPerArticle(mentions: Dataset[Mention]): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
+    // lang is functionally dependent on url — adding it to the key costs
+    // nothing and keeps the partition column available downstream
     mentions
-      .groupBy($"url", $"article_id",
+      .groupBy($"url", $"article_id", $"lang",
         Text.entityId($"entity_text_norm", $"entity_type").as("id_entity"),
         $"entity_text_norm", $"entity_type")
       .agg(count(lit(1)).as("entity_mentions_count"))

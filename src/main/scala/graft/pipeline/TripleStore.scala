@@ -38,9 +38,22 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * per task output file, plus per-predicate row counts.
     * Returns total row count.
     */
+  /** Hash-bucket count for the url-hash partition dimension (north_star:
+    * triples "partitioned by lang and url-hash"). 16 buckets × languages
+    * at test scale; a production Iceberg spec would use bucket(256, url).
+    */
+  val urlBuckets = 16
+
   def commit(batch: String, triples: DataFrame): Long = {
     val dir = dataDir(batch)
-    triples.write.mode(SaveMode.Overwrite).parquet(dir)
+    val withPartCols = triples
+      .withColumn("lang",
+        if (triples.columns.contains("lang")) coalesce(col("lang"), lit("und"))
+        else lit("und"))
+      .withColumn("bucket", pmod(xxhash64(col("subj")), lit(urlBuckets)))
+    withPartCols.write.mode(SaveMode.Overwrite)
+      .partitionBy("lang", "bucket")
+      .parquet(dir)
     val written = spark.read.parquet(dir)
     val perPart = written
       .groupBy(input_file_name().as("file")).count()
@@ -63,7 +76,10 @@ final class TripleStore(val root: String, spark: SparkSession) {
     n
   }
 
-  /** All committed triples (schema: subj, pred, obj, weight). */
+  /** All committed triples (subj, pred, obj, weight, lang, bucket, batch —
+    * the last three are partition columns usable for pruning: a reader
+    * filtering on lang or url-bucket scans only matching directories).
+    */
   def committed(): DataFrame = {
     val batches = committedBatches()
     if (batches.isEmpty) {
@@ -71,7 +87,9 @@ final class TripleStore(val root: String, spark: SparkSession) {
       Seq.empty[(String, String, String, Long)]
         .toDF("subj", "pred", "obj", "weight")
     } else {
-      spark.read.parquet(batches.map(dataDir): _*)
+      spark.read
+        .option("basePath", s"$root/data")
+        .parquet(batches.map(dataDir): _*)
     }
   }
 
@@ -91,6 +109,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
     */
   def deleteWhere(condition: org.apache.spark.sql.Column): Unit = {
     val remaining = committed().filter(!condition)
+      .drop("batch", "bucket") // re-derived on commit
     val batches = committedBatches()
     val staged = s"$root/data_staged"
     remaining.write.mode(SaveMode.Overwrite).parquet(staged)

@@ -25,7 +25,8 @@ final case class Mention(
     entity_text_norm: String,
     entity_type: String,
     begin_char: Int,
-    end_char: Int)
+    end_char: Int,
+    lang: String = "und") // page language, rides along for partition pruning
 
 /** Entity-dictionary record ≙ reference `entities` table
   * (`db/schema.sql:130-138`) with the deterministic id fix (§2.9 #1).
@@ -46,6 +47,29 @@ final case class Triple(
     pred: String,
     obj: String,
     weight: Long)
+
+/** Per-page per-surface mention count — the unit of the fused analyzer's
+  * output (all in-page aggregation is free; cross-page aggregation
+  * operates on these pre-reduced rows).
+  */
+final case class SurfaceCount(
+    entity_text_norm: String,
+    entity_type: String,
+    entity_text: String,
+    n: Long)
+
+/** One page, fully analyzed in a single narrow pass: extracted text
+  * verified byte-identical, cleaned, NER'd (with in-page counts), and
+  * topic-scored. ~100 bytes/page vs ~1.4 KB of cleaned text — THIS is
+  * what gets persisted/reused, not the text.
+  */
+final case class PageAnalysis(
+    url: String,
+    lang: String,
+    article_id: Long,
+    id_topic: Int,
+    text_identical: Boolean,
+    surfaces: Seq[SurfaceCount])
 
 object Pred {
   val HasTopic = "hasTopic"   // ≙ topics_per_news   (db/schema.sql:106-119)

@@ -83,6 +83,29 @@ class PipelineSpec extends SparkSpec {
     assert(sameAs.size === expectedPairs.size)
   }
 
+  test("fused run() == stage-composed runStaged() triple-for-triple") {
+    import spark.implicits._
+    val staged = KgPipeline.runStaged(
+      PageGen.pages(spark, N).toDF(), trieBc, paramsBc, Some(aliases))
+      .select("subj", "pred", "obj", "weight", "lang")
+      .as[(String, String, String, Long, String)].collect().toSet
+    val fused = fullRun
+      .select("subj", "pred", "obj", "weight", "lang")
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(fused === staged)
+  }
+
+  test("analyze: text_identical holds corpus-wide; surfaces are in-page counts") {
+    import spark.implicits._
+    val analyzed = KgPipeline.analyze(
+      PageGen.pages(spark, N).toDF(), trieBc, paramsBc)
+    assert(analyzed.filter(a => !a.text_identical).count() === 0L)
+    val total = analyzed.flatMap(_.surfaces.map(_.n)).reduce(_ + _)
+    val truthTotal = PageGen.genPages(spark, N)
+      .flatMap(_.truth_mentions).count()
+    assert(total === truthTotal) // every embedded phrase counted exactly once
+  }
+
   test("pipeline output is invariant to input partitioning") {
     import spark.implicits._
     val repart = KgPipeline.run(

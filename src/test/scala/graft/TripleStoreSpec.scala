@@ -55,6 +55,26 @@ class TripleStoreSpec extends SparkSpec {
     assert(todo === Seq("u2", "u3"))
   }
 
+  test("commits are hive-partitioned by (lang, bucket) and scans prune on lang") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    val t = Seq(
+      ("u1", "mentions", "e1", 1L, "en"),
+      ("u2", "mentions", "e2", 1L, "es"),
+      ("u3", "hasTopic", "t1", 1L, "en"))
+      .toDF("subj", "pred", "obj", "weight", "lang")
+    store.commit("b1", t)
+    // physical layout: batch=b1/lang=<l>/bucket=<n>/
+    val langDirs = new java.io.File(s"$root/data/batch=b1").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(langDirs.toSeq === Seq("lang=en", "lang=es"))
+    val pruned = store.committed().filter(col("lang") === "en")
+    assert(pruned.count() === 2L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+  }
+
   test("deleteWhere rewrites committed data (overwrite mode, S7)") {
     val store = new TripleStore(tmp(), spark)
     store.commit("b1", triples(
