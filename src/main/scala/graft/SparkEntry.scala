@@ -9,8 +9,8 @@ import graft.fixtures.PageGen
 import graft.functions.Text
 import graft.link.EntityLink
 import graft.ner.{FixtureGazetteer, GazEntry, NerExtractor, TokenTrie}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TopK}
-import graft.pipeline.KgPipeline
+import graft.ops.{Dedup, LshIndex, Multimodal, Similarity, TextAnalysis, TopK}
+import graft.pipeline.{EntityStore, KgPipeline, TripleStore}
 import graft.streaming.MicroBatch
 import graft.topics.{FixtureTrainer, TopicModelParams, TopicScorer}
 
@@ -70,8 +70,41 @@ object SparkEntry {
     import s.implicits._
     val aliases = FixtureGazetteer.aliasPairs
       .toDF("norm_a", "norm_b", "entity_type")
-    KgPipeline.run(PageGen.pages(s, nPages).toDF(), trie, params, Some(aliases))
+    // cacheAnalysis=false: a lazy result returned to Verify/Bench would
+    // otherwise hold a JVM-lifetime cache; at these fixture sizes the
+    // narrow recompute is cheaper than the leak
+    KgPipeline.run(PageGen.pages(s, nPages).toDF(), trie, params, Some(aliases),
+      KgPipeline.Config(cacheAnalysis = false))
   }
+
+  /** Oracle staging: DuckDB restates model/LSH-parameterized queries by
+    * reading small Spark-written parquet side-tables (the hyperplanes,
+    * the frozen model's vocab/idf, the topic assignment column) — the
+    * pattern VERDICT r01 #3 prescribed for closing the no_oracle gap.
+    * Absolute paths are baked into the oracle SQL at Verify time.
+    */
+  private object Stage {
+    val dir: String =
+      java.nio.file.Paths.get("target", "verify_stage").toAbsolutePath.toString
+    def write(name: String, df: DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    def glob(name: String): String = s"$dir/$name/*.parquet"
+  }
+
+  private def planesDf(s: SparkSession, count: Int, dim: Int, seed: Long): DataFrame = {
+    import s.implicits._
+    Similarity.randomPlanes(count, dim, seed).zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("plane_id", "v")
+  }
+
+  /** Frozen fixture-model vocabulary + idf as a stageable table. */
+  private def vocabDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    fixtureModel.vocab.zip(fixtureModel.idf).toSeq.toDF("term", "idf")
+  }
+
+  private def cleanedPages(s: SparkSession, n: Long): DataFrame =
+    KgPipeline.withCleanText(PageGen.pages(s, n).toDF())
 
   // ------------------------------------------------------------- the entry
 
@@ -186,8 +219,9 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("entity_text"), col("entity_type"))
     }),
     "q13_entity_link" -> ((s, d) => {
+      // no persist: the trie pass is narrow; recompute beats a cache the
+      // bench JVM would hold for its remaining 40 queries (VERDICT #6)
       val m = docMentions(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dict = EntityLink.buildEntityDict(m).toDF()
         .select(col("entity_text_norm"), col("entity_type"), col("news_count"))
       val perDoc = m.groupBy(col("url"), col("entity_text_norm"), col("entity_type"))
@@ -199,7 +233,6 @@ object SparkEntry {
     }),
     "q14_entity_link_salted" -> ((s, d) => {
       val m = docMentions(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dict = EntityLink.buildEntityDict(m).toDF()
         .select(col("entity_text_norm"), col("entity_type"), col("news_count"))
       val perDoc = m.groupBy(col("url"), col("entity_text_norm"), col("entity_type"))
@@ -215,7 +248,9 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
     "q16_char_jaccard" -> ((s, d) => {
-      Dedup.charShingleJaccard(docs(s, d), threshold = 0.6)
+      // maxShingleDf low on purpose: exercises the stop-shingle guard
+      // (the hot-shingle d² blowup fix); the oracle restates the same cap
+      Dedup.charShingleJaccard(docs(s, d), threshold = 0.6, maxShingleDf = 100L)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q17_langid" -> ((s, d) => {
@@ -250,13 +285,25 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, q, k = 10, excludeId = Some(0L))
     }),
     "q22_ann_lsh" -> ((s, d) => {
+      // the 100 TB query shape: MATERIALIZED signature index partitioned
+      // by (tbl, key-bucket); the probe prunes to the query's buckets
+      // (VERDICT r01 #7). Candidate-identical to Similarity.lshTopK.
       val emb = tbl(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head()
         .getSeq[Double](0).toArray
-      Similarity.lshTopK(emb, q, k = 10, excludeId = Some(0L))
+      val p = LshIndex.Params()
+      val idx = java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
+      LshIndex.build(emb, idx, p)
+      Stage.write("q22_planes", planesDf(s, p.tables * p.bits, q.length, p.seed))
+      LshIndex.topK(s, idx, q, k = 10, p = p, excludeId = Some(0L))
     }),
     "q23_embedding_neardup" -> ((s, d) => {
+      // stage the hyperplanes so the oracle restates the EXACT LSH
+      // candidacy (sign tests) — not a recall-dependent approximation
+      val dim = tbl(s, d, "embeddings")
+        .select(size(col("embedding"))).head().getInt(0)
+      Stage.write("q23_planes", planesDf(s, 4 * 12, dim, 11L))
       Dedup.embeddingNearDup(tbl(s, d, "embeddings"), threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -353,10 +400,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q36_terms_per_topic" -> ((s, _) => {
-      // A5+W1/W2 over the fixture corpus (model-based → rows-only check;
-      // semantics pinned in TopicTermsSpec)
+      // A5+W1/W2 over the fixture corpus. The oracle restates the FULL
+      // tfidf→mean→rank math in SQL from three staged side-tables:
+      // cleaned text, the frozen model's (vocab, idf), and the topic
+      // assignment column (VERDICT r01 #3's prescription).
       val params = s.sparkContext.broadcast(fixtureModel)
-      val cleaned = KgPipeline.withCleanText(PageGen.pages(s, 500L).toDF())
+      val cleaned = cleanedPages(s, 500L)
+      Stage.write("q36_cleaned", cleaned.select(col("url"), col("clean")))
+      Stage.write("q36_vocab", vocabDf(s))
+      Stage.write("q36_assign", TopicScorer
+        .assignTopics(cleaned, params, textCol = "clean").toDF()
+        .select(col("url"), col("id_topic")))
       graft.topics.TopicTerms.topTerms(cleaned, params, topN = 10)
         .withColumn("weight", round(col("weight"), 6))
         .orderBy(col("id_topic"), col("rank"))
@@ -364,7 +418,12 @@ object SparkEntry {
     "q37_topics_table" -> ((s, _) => {
       // A4 sizes + M5 deterministic naming → the `topics` table analogue
       val params = s.sparkContext.broadcast(fixtureModel)
-      val cleaned = KgPipeline.withCleanText(PageGen.pages(s, 500L).toDF())
+      val cleaned = cleanedPages(s, 500L)
+      Stage.write("q37_cleaned", cleaned.select(col("url"), col("clean")))
+      Stage.write("q37_vocab", vocabDf(s))
+      Stage.write("q37_assign", TopicScorer
+        .assignTopics(cleaned, params, textCol = "clean").toDF()
+        .select(col("url"), col("id_topic")))
       val terms = graft.topics.TopicTerms.topTerms(cleaned, params, topN = 5)
       val sizes = graft.topics.TopicTerms.topicSizes(cleaned, params)
       graft.topics.TopicNaming.nameTopics(terms, sizes,
@@ -378,12 +437,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q38_representative_docs" -> ((s, _) => {
-      // W3: top-3 docs nearest each topic centroid
+      // W3: top-3 docs nearest each topic centroid. The oracle verifies
+      // the per-topic window over the staged (url, topic, dist) table.
       val params = s.sparkContext.broadcast(fixtureModel)
-      val cleaned = KgPipeline.withCleanText(PageGen.pages(s, 500L).toDF())
+      val cleaned = cleanedPages(s, 500L)
+      Stage.write("q38_assign", TopicScorer
+        .assignTopics(cleaned, params, textCol = "clean").toDF()
+        .select(col("url"), col("id_topic"), col("dist_centroid")))
       graft.topics.TopicTerms.representativeDocs(cleaned, params, k = 3)
         .withColumn("dist_centroid", round(col("dist_centroid"), 6))
         .orderBy(col("id_topic"), col("rank"))
+    }),
+
+    // --- persistent stores: entity dictionary MERGE + run-scoped
+    //     incremental assignment (J1 id_run parity) ---
+    "q40_entity_dict_incremental" -> ((s, d) => {
+      // two url-disjoint batches merged into the EntityStore, plus a
+      // RETRY of batch 1 (with drifted input!) that must no-op; the dict
+      // must equal the oracle's single-shot recompute over the union
+      val root = java.nio.file.Files.createTempDirectory("graft_q40_").toString
+      val es = new EntityStore(root, s)
+      val rows = docMentions(s, d).toDF().select(
+        col("url"), col("entity_text_norm"), col("entity_type"),
+        col("entity_text"), lit(1L).as("n"))
+      es.merge("b1", rows.filter(col("url").cast("long") % 2 === 0))
+      es.merge("b2", rows.filter(col("url").cast("long") % 2 =!= 0))
+      es.merge("b1", rows) // idempotence under retry-with-drift
+      es.dict().toDF()
+        .select(col("entity_text_norm"), col("entity_type"), col("entity_text"),
+          col("entity_mentions_count"), col("news_count"))
+        .orderBy(col("entity_text_norm"), col("entity_type"))
+    }),
+    "q41_run_scoped_incremental" -> ((s, d) => {
+      // run1 lands in two batches (second input OVERLAPS the first → the
+      // anti-join must skip b1's pages); run2 re-assigns EVERYTHING.
+      // Assignment fn is SQL-expressible so the oracle restates both the
+      // run-scoping AND the assigned topic values.
+      val root = java.nio.file.Files.createTempDirectory("graft_q41_").toString
+      val store = new TripleStore(root, s)
+      val pages = docs(s, d).select(
+        col("doc_id").cast("string").as("url"), col("lang"),
+        col("text").as("clean"))
+      def assign(m: Int)(in: DataFrame): DataFrame =
+        in.select(col("url"), col("lang"),
+          pmod(col("url").cast("long"), lit(m)).cast("int").as("id_topic"))
+      val first = pages.filter(col("url").cast("long") % 2 === 0)
+      KgPipeline.assignTopicsIncremental(store, "b1", "run1", first, assign(5))
+      KgPipeline.assignTopicsIncremental(store, "b2", "run1", pages, assign(5))
+      KgPipeline.assignTopicsIncremental(store, "b3", "run2", pages, assign(3))
+      store.committed()
+        .select(col("subj").cast("long").as("doc_id"), col("pred"), col("obj"))
+        .orderBy(col("doc_id"), col("pred"))
     })
   )
 
@@ -489,10 +593,12 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q16_char_jaccard" ->
-      """WITH s AS (SELECT DISTINCT doc_id, substr(text, i, 12) AS sh
+      """WITH s0 AS (SELECT DISTINCT doc_id, substr(text, i, 12) AS sh
                FROM (SELECT doc_id, text,
                             unnest(generate_series(1, greatest(length(text) - 11, 1), 4)) AS i
                      FROM documents) t),
+         keep AS (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= 100),
+         s AS (SELECT s0.* FROM s0 JOIN keep USING (sh)),
          c AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
                FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -573,6 +679,150 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q35_tsv_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
+    // LSH candidacy restated EXACTLY from the staged hyperplanes: key bit
+    // b of table t is the sign of <v, plane[t*bits+b]> — identical plane
+    // family (same seed) on both sides, so no recall assumption.
+    "q22_ann_lsh" ->
+      s"""WITH planes AS (SELECT plane_id, v FROM read_parquet('${Stage.glob("q22_planes")}')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         keys AS (SELECT e.vec_id, CAST(p.plane_id // 10 AS INT) AS tbl,
+                    sum(CASE WHEN list_inner_product(e.ev, p.v) >= 0
+                        THEN (CAST(1 AS BIGINT) << (p.plane_id % 10)) ELSE 0 END) AS key
+                  FROM e, planes p GROUP BY 1, 2),
+         qk AS (SELECT tbl, key FROM keys WHERE vec_id = 0),
+         cand AS (SELECT DISTINCT keys.vec_id FROM keys JOIN qk USING (tbl, key)
+                  WHERE keys.vec_id <> 0),
+         q AS (SELECT ev AS qe FROM e WHERE vec_id = 0)
+         SELECT c.vec_id,
+                round(list_inner_product(e.ev, q.qe) /
+                      (sqrt(list_inner_product(e.ev, e.ev)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cosine
+         FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+         ORDER BY cosine DESC, c.vec_id LIMIT 10""",
+    "q23_embedding_neardup" ->
+      s"""WITH planes AS (SELECT plane_id, v FROM read_parquet('${Stage.glob("q23_planes")}')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         keys AS (SELECT e.vec_id, CAST(p.plane_id // 12 AS INT) AS tbl,
+                    sum(CASE WHEN list_inner_product(e.ev, p.v) >= 0
+                        THEN (CAST(1 AS BIGINT) << (p.plane_id % 12)) ELSE 0 END) AS key
+                  FROM e, planes p GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key
+                   AND a.vec_id < b.vec_id),
+         p2 AS (SELECT id_a, id_b,
+                  round(list_inner_product(ea.ev, eb.ev) /
+                        (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))), 4) AS cosine
+                FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+         SELECT id_a, id_b, cosine FROM p2 WHERE cosine >= 0.9
+         ORDER BY id_a, id_b""",
+    // brute-force word-shingle Jaccard: every true pair ≥ threshold. The
+    // MinHash banding (64 hashes / 16 bands, fixed seed) finds candidates;
+    // at the verify SF its recall is exactly 1.0 (pinned — a regression in
+    // signature/banding would hash-mismatch here).
+    "q33_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS shs
+                FROM d),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.shs, b.shs)) AS inter, len(a.shs) AS na, len(b.shs) AS nb
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+                round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+         FROM p WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q39_neardup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS shs
+                FROM d),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+                     (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.8),
+         e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+         SELECT src AS doc_id, min(dst) AS canonical_id FROM reach
+         GROUP BY 1 ORDER BY 1""",
+    // tfidf → per-topic mean → rounded-rank, fully restated in SQL from
+    // the staged (clean, vocab+idf, assignment) side-tables
+    "q36_terms_per_topic" ->
+      s"""WITH cleaned AS (SELECT url, clean FROM read_parquet('${Stage.glob("q36_cleaned")}')),
+         vocab AS (SELECT term, idf FROM read_parquet('${Stage.glob("q36_vocab")}')),
+         assign AS (SELECT url, id_topic FROM read_parquet('${Stage.glob("q36_assign")}')),
+         toks AS (SELECT url, regexp_extract_all(clean, '[\\p{L}\\p{N}_]{2,}') AS t FROM cleaned),
+         grams AS (SELECT url, unnest(list_concat(t,
+                    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS term FROM toks),
+         cnt AS (SELECT url, term, count(*) AS c FROM grams GROUP BY 1, 2),
+         tf AS (SELECT url, cnt.term, c * idf AS v FROM cnt JOIN vocab USING (term)),
+         nrm AS (SELECT url, sqrt(sum(v * v)) AS l2 FROM tf GROUP BY 1),
+         tfn AS (SELECT tf.url, term, v / l2 AS vn FROM tf JOIN nrm ON tf.url = nrm.url WHERE l2 > 0),
+         sizes AS (SELECT id_topic, count(*) AS sz FROM assign GROUP BY 1),
+         sums AS (SELECT id_topic, term, sum(vn) AS sv FROM tfn JOIN assign ON tfn.url = assign.url GROUP BY 1, 2),
+         wts AS (SELECT id_topic, term, sv / sz AS weight FROM sums JOIN sizes USING (id_topic)),
+         rk AS (SELECT id_topic, term, weight,
+                  CAST(row_number() OVER (PARTITION BY id_topic
+                       ORDER BY round(weight, 6) DESC, term) AS BIGINT) AS rank FROM wts)
+         SELECT id_topic, rank, term, round(weight, 6) AS weight FROM rk
+         WHERE rank <= 10 ORDER BY id_topic, rank""",
+    "q37_topics_table" ->
+      s"""WITH cleaned AS (SELECT url, clean FROM read_parquet('${Stage.glob("q37_cleaned")}')),
+         vocab AS (SELECT term, idf FROM read_parquet('${Stage.glob("q37_vocab")}')),
+         assign AS (SELECT url, id_topic FROM read_parquet('${Stage.glob("q37_assign")}')),
+         toks AS (SELECT url, regexp_extract_all(clean, '[\\p{L}\\p{N}_]{2,}') AS t FROM cleaned),
+         grams AS (SELECT url, unnest(list_concat(t,
+                    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS term FROM toks),
+         cnt AS (SELECT url, term, count(*) AS c FROM grams GROUP BY 1, 2),
+         tf AS (SELECT url, cnt.term, c * idf AS v FROM cnt JOIN vocab USING (term)),
+         nrm AS (SELECT url, sqrt(sum(v * v)) AS l2 FROM tf GROUP BY 1),
+         tfn AS (SELECT tf.url, term, v / l2 AS vn FROM tf JOIN nrm ON tf.url = nrm.url WHERE l2 > 0),
+         sizes AS (SELECT id_topic, count(*) AS sz FROM assign GROUP BY 1),
+         sums AS (SELECT id_topic, term, sum(vn) AS sv FROM tfn JOIN assign ON tfn.url = assign.url GROUP BY 1, 2),
+         wts AS (SELECT id_topic, term, sv / sz AS weight FROM sums JOIN sizes USING (id_topic)),
+         rk AS (SELECT id_topic, term,
+                  row_number() OVER (PARTITION BY id_topic
+                       ORDER BY round(weight, 6) DESC, term) AS rank FROM wts),
+         names AS (SELECT id_topic, string_agg(term, ' / ' ORDER BY rank) AS topic_name
+                   FROM rk WHERE rank <= 3 GROUP BY 1)
+         SELECT n.id_topic, n.topic_name, coalesce(s.sz, 0) AS topic_size
+         FROM names n LEFT JOIN sizes s USING (id_topic)
+         ORDER BY n.id_topic""",
+    "q38_representative_docs" ->
+      s"""WITH a AS (SELECT url, id_topic, dist_centroid FROM read_parquet('${Stage.glob("q38_assign")}')),
+         rk AS (SELECT id_topic,
+                  CAST(row_number() OVER (PARTITION BY id_topic
+                       ORDER BY dist_centroid, url) AS BIGINT) AS rank,
+                  url, dist_centroid FROM a)
+         SELECT id_topic, rank, url, round(dist_centroid, 6) AS dist_centroid
+         FROM rk WHERE rank <= 3 ORDER BY id_topic, rank""",
+    "q40_entity_dict_incremental" ->
+      s"""WITH gaz(phrase, etype) AS (SELECT * FROM (VALUES $docGazValues) g(p, e)),
+         m AS (SELECT doc_id, phrase, etype,
+                      CAST(len(regexp_extract_all(text, '\\b' || phrase || '\\b')) AS BIGINT) AS n
+               FROM documents, gaz),
+         m2 AS (SELECT * FROM m WHERE n > 0)
+         SELECT phrase AS entity_text_norm, etype AS entity_type,
+                phrase AS entity_text,
+                CAST(sum(n) AS BIGINT) AS entity_mentions_count,
+                count(DISTINCT doc_id) AS news_count
+         FROM m2 GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+    "q41_run_scoped_incremental" ->
+      """WITH t AS (
+           SELECT doc_id, 'hasTopic:run1' AS pred,
+                  'topic_' || CAST(doc_id % 5 AS VARCHAR) AS obj FROM documents
+           UNION ALL
+           SELECT doc_id, 'processedIn:run1',
+                  CASE WHEN doc_id % 2 = 0 THEN 'b1' ELSE 'b2' END FROM documents
+           UNION ALL
+           SELECT doc_id, 'hasTopic:run2',
+                  'topic_' || CAST(doc_id % 3 AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT doc_id, 'processedIn:run2', 'b3' FROM documents)
+         SELECT doc_id, pred, obj FROM t ORDER BY doc_id, pred""",
     "q30_text_assembly" ->
       """WITH t AS (SELECT c_custkey,
                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END AS title,

@@ -1,0 +1,80 @@
+package graft.api
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft.functions.Text
+import graft.ner.{NerExtractor, TokenTrie}
+import graft.schema.Mention
+import graft.topics.{TopicModelParams, TopicScorer}
+
+/** One-call analysis surface — parity with the reference's
+  * `POST /analyze` (`api/app.py:100-124`): given a single (title, text),
+  * return the topic assignment plus the detected entities with char
+  * offsets. Uses the API assembly variant (P9 — no ". " separator when
+  * the title is empty, `app.py:111`), then the SAME clean/NER/score code
+  * the batch pipeline runs, so a 1-row answer equals the full pipeline's
+  * triples for that page (pinned by ApiSpec).
+  */
+object Api {
+
+  final case class EntityHit(
+      entity_text: String,
+      entity_text_norm: String,
+      entity_type: String,
+      begin_char: Int,
+      end_char: Int)
+
+  final case class Analysis(
+      url: String,
+      id_topic: Int,
+      dist_centroid: Double,
+      entities: Seq[EntityHit])
+
+  /** Driver-local single-text analyze: NO Spark job — a 1-row request
+    * must not pay a cluster round trip (the reference's API path is a
+    * single in-process model call too, `app.py:100-124`).
+    */
+  def analyzeText(
+      trie: TokenTrie,
+      params: TopicModelParams,
+      title: String,
+      text: String,
+      url: String = "api",
+      keepTypes: Option[Set[String]] = None): Analysis = {
+    val assembled =
+      if (title != null && title.nonEmpty) s"$title. $text" // P9, app.py:111
+      else if (text == null) "" else text
+    val clean = Text.cleanTextScala(assembled)
+    val t = TopicScorer.score(params, url, clean)
+    val ents = NerExtractor.detect(trie, url, clean, keepTypes)
+      .map(m => EntityHit(m.entity_text, m.entity_text_norm, m.entity_type,
+        m.begin_char, m.end_char))
+      .toSeq
+    Analysis(url, t.id_topic, t.dist_centroid, ents)
+  }
+
+  /** Dataset variant of the same surface — works on a 1-row Dataset or a
+    * billion-row one (narrow mapPartitions, broadcast model+trie).
+    * Input: (url, title, text[, lang]).
+    */
+  def analyzePages(
+      pages: DataFrame,
+      trie: Broadcast[TokenTrie],
+      params: Broadcast[TopicModelParams],
+      keepTypes: Option[Set[String]] = None): Dataset[Analysis] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    pages.select(col("url").cast("string"), col("title").cast("string"),
+        col("text").cast("string"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val tr = trie.value
+        val p = params.value
+        it.map { case (url, title, text) =>
+          analyzeText(tr, p, title, text, url, keepTypes)
+        }
+      }
+  }
+}

@@ -55,6 +55,16 @@ object EntityLink {
       .select($"entity_text_norm", $"entity_type", $"url").distinct()
       .groupBy($"entity_text_norm", $"entity_type")
       .agg(count(lit(1)).as("news_count"))
+    dictFromStats(surfaceCounts, newsCounts)
+  }
+
+  /** Dictionary view over pre-aggregated stats — the read path shared by
+    * the per-run dict and the persistent [[graft.pipeline.EntityStore]]
+    * (whose merged state is exactly these two tables).
+    */
+  def dictFromStats(surfaceCounts: DataFrame, newsCounts: DataFrame): Dataset[EntityRecord] = {
+    val spark = surfaceCounts.sparkSession
+    import spark.implicits._
     val modalAndTotals = surfaceCounts
       .groupBy($"entity_text_norm", $"entity_type")
       .agg(
@@ -120,8 +130,11 @@ object EntityLink {
     val saltedMentions = mentions
       .join(broadcast(hot), Seq("entity_text_norm", "entity_type"), "left")
       .withColumn("_salt",
+        // deterministic under task retry (monotonically_increasing_id is
+        // not): mention rows are pre-aggregated per (url, entity), so
+        // xxhash64(url) alone spreads a hot entity across its many urls
         when($"_hot".isNotNull,
-          pmod(xxhash64($"url", monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+          pmod(xxhash64($"url"), lit(saltFactor)).cast("int"))
           .otherwise(lit(0)))
       .drop("_hot")
     val saltedDict = dict

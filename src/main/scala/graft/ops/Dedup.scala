@@ -191,15 +191,30 @@ object Dedup {
     * plain SQL (the DuckDB oracle restates it): shingles are 12-char
     * substrings at stride 4; pairs share ≥1 shingle; Jaccard over distinct
     * shingle sets ≥ threshold.
+    *
+    * Scale guard (`maxShingleDf`): a shingle shared by d documents costs
+    * d² rows in the self-join — at web scale a boilerplate shingle
+    * ("all rights reserved…") appears in 10⁶ docs ⇒ a 10¹² blowup from
+    * ONE key. Shingles with document frequency > maxShingleDf carry no
+    * discriminative signal (standard stop-shingle treatment, same idea as
+    * TF-IDF max_df) and are dropped from the SIMILARITY SPACE — both the
+    * intersection and the set sizes — so Jaccard stays a true Jaccard over
+    * the filtered space and the oracle restates it with one HAVING clause.
+    * The join cost is then bounded by maxShingleDf² per shingle.
     */
   def charShingleJaccard(docs: DataFrame, threshold: Double = 0.6,
+      maxShingleDf: Long = 10000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs
+    val shAll = docs
       .select(col(idCol).as("id"),
         explode_outer(expr(s"transform(sequence(1, greatest(length($textCol) - 11, 1), 4), i -> substring($textCol, i, 12))")).as("sh"))
       .distinct()
+    // stop-shingle filter: one map-side-combined agg over (sh), tiny wire
+    val hot = shAll.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxShingleDf).select($"sh")
+    val sh = shAll.join(hot, Seq("sh"), "left_anti")
     val counts = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.id" < $"b.id")
       .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))

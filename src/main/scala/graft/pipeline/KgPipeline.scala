@@ -41,10 +41,16 @@ object KgPipeline {
         * work is ~30µs/page, so recomputing scales better than caching
         * at high parallelism — measured 4× faster at local[32].
         */
-      cache: Boolean = false)
+      cache: Boolean = false,
+      /** Cache the COMPACT PageAnalysis (~100 B/page — unlike the raw
+        * text, always worth caching when there are 2+ consumers). Callers
+        * of the lazy [[run]] own the unpersist; [[runManaged]] and
+        * [[runIncremental]] release it in a finally.
+        */
+      cacheAnalysis: Boolean = true)
 
-  private def maybePersist[T](ds: org.apache.spark.sql.Dataset[T], cfg: Config) =
-    if (cfg.cache)
+  private def maybePersist[T](ds: org.apache.spark.sql.Dataset[T], on: Boolean) =
+    if (on)
       ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ds
 
@@ -72,10 +78,10 @@ object KgPipeline {
     // Mentions feed THREE consumers (surface counts, exact news_count,
     // per-article counts); caching is governed by cfg.cache — see Config.
     val mentions = maybePersist(NerExtractor.extractMentions(
-      cleaned, trie, cfg.keepTypes, textCol = "clean"), cfg)
+      cleaned, trie, cfg.keepTypes, textCol = "clean"), cfg.cache)
     // the dictionary is consumed twice by canonicalization (edge build and
     // key render) and optionally by the salted link
-    val dict = maybePersist(EntityLink.buildEntityDict(mentions).toDF(), cfg)
+    val dict = maybePersist(EntityLink.buildEntityDict(mentions).toDF(), cfg.cache)
     val perArticle = EntityLink.mentionsPerArticle(mentions)
     val linked =
       if (cfg.saltedLink)
@@ -163,7 +169,11 @@ object KgPipeline {
     import spark.implicits._
     val langExpr =
       if (pages.columns.contains("lang")) col("lang") else lit("und")
-    pages.select(col("url"), langExpr.as("lang"), col("html"), col("text"))
+    // html may arrive binary (the input_hint contract) or string (staged
+    // text fixtures) — cast("binary") accepts both, matching HtmlToText's
+    // binary-or-string contract on the staged path
+    pages.select(col("url"), langExpr.as("lang"),
+        col("html").cast("binary").as("html"), col("text"))
       .as[(String, String, Array[Byte], String)]
       .mapPartitions { it =>
         val t = trie.value
@@ -191,9 +201,52 @@ object KgPipeline {
       }
   }
 
+  /** Per-page surface rows from the compact analysis — the batch delta
+    * the [[EntityStore]] merges and the dict builds from.
+    */
+  def surfaceRows(analyzed: Dataset[PageAnalysis]): DataFrame = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    analyzed.flatMap { a =>
+      a.surfaces.map(s =>
+        (a.url, s.entity_text_norm, s.entity_type, s.entity_text, s.n))
+    }.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
+  }
+
+  /** Triples from an already-analyzed Dataset. Callers that consume
+    * `analyzed` more than once (this derives 1-2 passes) own its caching
+    * lifecycle — see [[runManaged]]/[[runIncremental]].
+    */
+  def triplesFromAnalysis(
+      analyzed: Dataset[PageAnalysis],
+      aliases: Option[DataFrame] = None): DataFrame = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    // mention AND hasTopic triples in ONE narrow pass over the compact
+    // analysis — per page: one topic row + one row per distinct entity
+    val pageTriples = analyzed.flatMap { a =>
+      val byEntity = a.surfaces.groupBy(s => (s.entity_text_norm, s.entity_type))
+      val mt = byEntity.toSeq.sortBy(_._1).map { case ((norm, tpe), ss) =>
+        (a.url, Pred.Mentions, s"$norm|$tpe", ss.map(_.n).sum, a.lang)
+      }
+      (a.url, Pred.HasTopic, s"topic_${a.id_topic}", 1L, a.lang) +: mt
+    }.toDF("subj", "pred", "obj", "weight", "lang")
+    val sa = aliases.map { al =>
+      val dict = EntityLink.dictFromSurfaceRows(surfaceRows(analyzed)).toDF()
+      sameAsTriples(dict, al)
+    }.getOrElse(
+      Seq.empty[(String, String, String, Long, String)]
+        .toDF("subj", "pred", "obj", "weight", "lang"))
+    pageTriples.unionByName(sa)
+  }
+
   /** Full run over a pages DataFrame; returns the complete triple set
     * (subj, pred, obj, weight, lang). `aliases` may be empty
     * (schema: norm_a, norm_b, entity_type).
+    *
+    * NOTE the result is lazy and (with cfg.cacheAnalysis) holds a cached
+    * Dataset for the JVM's lifetime; prefer [[runManaged]] when the
+    * caller materializes once — it unpersists in a finally.
     */
   def run(
       pages: DataFrame,
@@ -204,33 +257,27 @@ object KgPipeline {
     if (cfg.saltedLink)
       runStaged(pages, trie, params, aliases, cfg)
     else {
-      val spark = pages.sparkSession
-      import spark.implicits._
-      // the compact analysis is the ONLY thing worth caching: 4 consumers,
-      // ~100 B/page
-      val analyzed = analyze(pages, trie, params, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // mention AND hasTopic triples in ONE narrow pass over the compact
-      // analysis — per page: one topic row + one row per distinct entity
-      val pageTriples = analyzed.flatMap { a =>
-        val byEntity = a.surfaces.groupBy(s => (s.entity_text_norm, s.entity_type))
-        val mt = byEntity.toSeq.sortBy(_._1).map { case ((norm, tpe), ss) =>
-          (a.url, Pred.Mentions, s"$norm|$tpe", ss.map(_.n).sum, a.lang)
-        }
-        (a.url, Pred.HasTopic, s"topic_${a.id_topic}", 1L, a.lang) +: mt
-      }.toDF("subj", "pred", "obj", "weight", "lang")
-      val sa = aliases.map { al =>
-        val surfaceRows = analyzed.flatMap { a =>
-          a.surfaces.map(s =>
-            (a.url, s.entity_text_norm, s.entity_type, s.entity_text, s.n))
-        }.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
-        val dict = EntityLink.dictFromSurfaceRows(surfaceRows).toDF()
-        sameAsTriples(dict, al)
-      }.getOrElse(
-        Seq.empty[(String, String, String, Long, String)]
-          .toDF("subj", "pred", "obj", "weight", "lang"))
-      pageTriples.unionByName(sa)
+      // the compact analysis is the ONLY thing worth caching: multiple
+      // consumers, ~100 B/page
+      val analyzed = maybePersist(analyze(pages, trie, params, cfg), cfg.cacheAnalysis)
+      triplesFromAnalysis(analyzed, aliases)
     }
+  }
+
+  /** [[run]] with owned cache lifecycle: persist the compact analysis,
+    * hand the lazy triples to `use` (which must materialize them), then
+    * unpersist — no JVM-lifetime cache leak.
+    */
+  def runManaged[T](
+      pages: DataFrame,
+      trie: Broadcast[TokenTrie],
+      params: Broadcast[TopicModelParams],
+      aliases: Option[DataFrame] = None,
+      cfg: Config = Config())(use: DataFrame => T): T = {
+    val analyzed = analyze(pages, trie, params, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(triplesFromAnalysis(analyzed, aliases))
+    finally analyzed.unpersist(blocking = false)
   }
 
   /** The stage-composed variant (operators individually reusable /
@@ -245,8 +292,12 @@ object KgPipeline {
       cfg: Config = Config()): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
+    // same missing-lang fallback as analyze()/topicTriples() — the two
+    // run() variants must accept the same input schemas
+    val langExpr =
+      (if (pages.columns.contains("lang")) col("lang") else lit("und")).as("lang")
     val cleaned = maybePersist(withCleanText(pages)
-      .select("url", "lang", "clean"), cfg) // prune early: html not needed
+      .select(col("url"), langExpr, col("clean")), cfg.cache) // prune early: html not needed
     val (_, dict, mt) = mentionTriples(cleaned, trie, cfg)
     val tt = topicTriples(cleaned, params)
     val sa = aliases.map(a => sameAsTriples(dict, a)).getOrElse(
@@ -271,19 +322,97 @@ object KgPipeline {
       pages: DataFrame,
       trie: Broadcast[TokenTrie],
       params: Broadcast[TopicModelParams],
-      cfg: Config = Config()): Long = {
+      cfg: Config = Config(),
+      entityStore: Option[EntityStore] = None,
+      aliases: Option[DataFrame] = None): Long = {
     val todo = store.unprocessed(pages, Pred.Processed)
+    val analyzed = analyze(todo, trie, params, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (todo.isEmpty) 0L
+      if (analyzed.isEmpty) 0L
       else {
-        val markers = todo.select(
+        // MERGE the entity dictionary BEFORE committing triples+markers:
+        // the pair is idempotent under kill-anywhere retry (markers absent
+        // → retry recomputes the identical batch → merge() no-ops on the
+        // recorded batch id → commit proceeds). Invariant: dictionary
+        // state always covers at least the committed batches.
+        entityStore.foreach(_.merge(batchId, surfaceRows(analyzed)))
+        val markers = analyzed.toDF().select(
           col("url").as("subj"), lit(Pred.Processed).as("pred"),
-          lit(batchId).as("obj"), lit(1L).as("weight"),
-          (if (todo.columns.contains("lang")) col("lang")
-           else lit("und")).as("lang"))
-        store.commit(batchId, run(todo, trie, params, None, cfg).unionByName(markers))
+          lit(batchId).as("obj"), lit(1L).as("weight"), col("lang"))
+        store.commit(batchId,
+          triplesFromAnalysis(analyzed, aliases).unionByName(markers))
       }
-    } finally todo.unpersist(blocking = false)
+    } finally analyzed.unpersist(blocking = false)
+  }
+
+  /** Run-scoped incremental topic assignment (J1's `id_run` dimension —
+    * reference `topics_detector/db_io.py:389-413`, job
+    * `jobs/topics_detector_inference_job.py:18-72`): assign topics only
+    * to pages with no `processedIn:<idRun>` marker, so activating a NEW
+    * model run re-assigns every page exactly once while an old run's
+    * assignments stay committed and queryable (PK `(id_news, id_run)`,
+    * `db/schema.sql:106-119`).
+    *
+    * `assign` maps (url, lang, clean) → (url, lang, id_topic) — pass
+    * [[modelAssign]] for real model scoring; tests pass SQL-expressible
+    * functions so the scoping semantics get a DuckDB oracle.
+    */
+  def assignTopicsIncremental(
+      store: TripleStore,
+      batchId: String,
+      idRun: String,
+      pagesWithClean: DataFrame,
+      assign: DataFrame => DataFrame): Long = {
+    val todo = store.unprocessed(pagesWithClean, Pred.processedFor(idRun))
+    val langExpr =
+      (if (todo.columns.contains("lang")) col("lang") else lit("und")).as("lang")
+    val input = todo.select(col("url"), langExpr, col("clean"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (input.isEmpty) 0L
+      else {
+        val topicT = assign(input).select(
+          col("url").as("subj"), lit(Pred.hasTopicFor(idRun)).as("pred"),
+          concat(lit("topic_"), col("id_topic").cast("string")).as("obj"),
+          lit(1L).as("weight"), col("lang"))
+        val markers = input.select(
+          col("url").as("subj"), lit(Pred.processedFor(idRun)).as("pred"),
+          lit(batchId).as("obj"), lit(1L).as("weight"), col("lang"))
+        store.commit(batchId, topicT.unionByName(markers))
+      }
+    } finally input.unpersist(blocking = false)
+  }
+
+  /** Model-backed `assign` for [[assignTopicsIncremental]]. */
+  def modelAssign(params: Broadcast[TopicModelParams])(input: DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input.select($"url", $"lang", $"clean")
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val p = params.value
+        it.map { case (url, lang, text) =>
+          (url, lang, TopicScorer.score(p, url, if (text == null) "" else text).id_topic)
+        }
+      }.toDF("url", "lang", "id_topic")
+  }
+
+  /** Overwrite mode for one run (reference
+    * `jobs/topics_detector_inference_job.py:18-72`: scoped DELETE → full
+    * recompute): drop the run's assignments + markers for the given pages
+    * (a semi-join scope, `db_io.py:334-345`), then re-assign them
+    * incrementally. Pages OUTSIDE the scope keep their old assignments.
+    */
+  def overwriteTopics(
+      store: TripleStore,
+      batchId: String,
+      idRun: String,
+      pagesWithClean: DataFrame,
+      assign: DataFrame => DataFrame): Long = {
+    val scope = pagesWithClean.select(col("url").as("subj"))
+    store.deleteScoped(
+      col("pred").isin(Pred.hasTopicFor(idRun), Pred.processedFor(idRun)), scope)
+    assignTopicsIncremental(store, batchId, idRun, pagesWithClean, assign)
   }
 }

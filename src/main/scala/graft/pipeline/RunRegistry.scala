@@ -30,16 +30,24 @@ final class RunRegistry(val root: String, spark: SparkSession) {
   private def currentVersion(): Long =
     if (Files.exists(latestPtr)) Files.readString(latestPtr).trim.toLong else 0L
 
-  /** Current registry table:
+  /** Current registry table — full schema parity with the reference's
+    * `topics_model_training_runs` (`db/schema.sql:33-50`): the complete
+    * hyperparameter set rides with the run so frozen-param inference is
+    * reproducible from the registry row alone.
     * (id_run, model_name, vocab_size, n_components, k, silhouette,
-    * created_seq, is_active).
+    * tfidf_max_features, tfidf_max_df, tfidf_min_df, ngram_min, ngram_max,
+    * top_terms_per_topic, random_state, id_mlflow_run, created_seq,
+    * is_active).
     */
   def table(): DataFrame = {
     val v = currentVersion()
     if (v == 0L) {
-      Seq.empty[(String, String, Int, Int, Int, Double, Long, Boolean)]
+      Seq.empty[(String, String, Int, Int, Int, Double, Int, Double, Int,
+          Int, Int, Int, Long, String, Long, Boolean)]
         .toDF("id_run", "model_name", "vocab_size", "n_components", "k",
-          "silhouette", "created_seq", "is_active")
+          "silhouette", "tfidf_max_features", "tfidf_max_df", "tfidf_min_df",
+          "ngram_min", "ngram_max", "top_terms_per_topic", "random_state",
+          "id_mlflow_run", "created_seq", "is_active")
     } else spark.read.parquet(versionDir(v))
   }
 
@@ -52,6 +60,8 @@ final class RunRegistry(val root: String, spark: SparkSession) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  import RunRegistry.RunParams
+
   /** S5: register a run (inactive). Re-registering an id_run replaces its
     * row (idempotent retries).
     */
@@ -61,12 +71,17 @@ final class RunRegistry(val root: String, spark: SparkSession) {
       vocabSize: Int,
       nComponents: Int,
       k: Int,
-      silhouette: Double): Unit = {
+      silhouette: Double,
+      params: RunParams = RunParams()): Unit = {
     val seq = currentVersion() + 1L
     val row = Seq((idRun, modelName, vocabSize, nComponents, k, silhouette,
-      seq, false))
+      params.tfidfMaxFeatures, params.tfidfMaxDf, params.tfidfMinDf,
+      params.ngramMin, params.ngramMax, params.topTermsPerTopic,
+      params.randomState, params.idMlflowRun, seq, false))
       .toDF("id_run", "model_name", "vocab_size", "n_components", "k",
-        "silhouette", "created_seq", "is_active")
+        "silhouette", "tfidf_max_features", "tfidf_max_df", "tfidf_min_df",
+        "ngram_min", "ngram_max", "top_terms_per_topic", "random_state",
+        "id_mlflow_run", "created_seq", "is_active")
     publish(table().filter($"id_run" =!= idRun).unionByName(row))
   }
 
@@ -92,4 +107,22 @@ final class RunRegistry(val root: String, spark: SparkSession) {
   def latest(): Option[String] =
     table().orderBy($"created_seq".desc, $"id_run")
       .select($"id_run").as[String].collect().headOption
+}
+
+object RunRegistry {
+  /** Training hyperparameters carried with each run (reference
+    * `db/schema.sql:33-50`: tfidf_max_features/max_df/min_df,
+    * ngram_range, top_terms_per_topic, random_state, id_mlflow_run).
+    * Defaults mirror the reference's shipped config
+    * (`topics_detector/model.py:23-35`).
+    */
+  final case class RunParams(
+      tfidfMaxFeatures: Int = 30000,
+      tfidfMaxDf: Double = 0.7,
+      tfidfMinDf: Int = 5,
+      ngramMin: Int = 1,
+      ngramMax: Int = 2,
+      topTermsPerTopic: Int = 50,
+      randomState: Long = 31415L,
+      idMlflowRun: String = "")
 }

@@ -2,8 +2,34 @@ package graft.pipeline
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Bounded-cardinality per-key counter used as an `observe()` metric: the
+  * predicate vocabulary of a batch is tiny (a handful of predicates, plus
+  * run-scoped variants), so the per-pred row counts ride along with the
+  * WRITE job itself — no post-write re-scan of the committed data.
+  * Output is a canonical sorted JSON object fragment.
+  */
+object PredCounter extends Aggregator[String, Map[String, Long], String] {
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(b: Map[String, Long], a: String): Map[String, Long] = {
+    val k = if (a == null) "null" else a
+    b.updated(k, b.getOrElse(k, 0L) + 1L)
+  }
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+  override def finish(m: Map[String, Long]): String =
+    m.toSeq.sorted.map { case (k, v) =>
+      s""""${k.replace("\\", "\\\\").replace("\"", "\\\"")}":$v"""
+    }.mkString("{", ",", "}")
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+}
 
 /** Snapshot-committed triple store over parquet.
   *
@@ -16,10 +42,18 @@ import org.apache.spark.sql.functions._
   *     `_manifest/<id>.commit` via atomic rename — readers only see fully
   *     committed batches (a killed job leaves a dangling data dir that is
   *     invisible and overwritten on retry);
-  *   - `committed()` reads ONLY manifested batches → the anti-join resume
-  *     (J1/J2) reprocesses exactly the uncommitted urls;
-  *   - per-batch lineage + row metrics live in the manifest line
-  *     (north rule: per-partition lineage + metrics).
+  *   - a manifest may declare `"supersedes":[...]`: the listed batches are
+  *     dead the INSTANT the superseding manifest's rename lands — this is
+  *     how [[deleteWhere]] swaps rewritten data atomically (Iceberg's
+  *     copy-on-write DELETE, snapshot-pointer style);
+  *   - `committed()` reads ONLY live manifested batches → the anti-join
+  *     resume (J1/J2) reprocesses exactly the uncommitted urls;
+  *   - per-batch lineage + row metrics live in the manifest line (north
+  *     rule: per-partition lineage + metrics). Totals and per-pred counts
+  *     come from an `Observation` riding the write job; per-file row
+  *     counts come from the parquet FOOTERS (metadata-only — the same
+  *     stats an Iceberg manifest records), so a commit never re-reads the
+  *     data it just wrote.
   */
 final class TripleStore(val root: String, spark: SparkSession) {
 
@@ -28,52 +62,99 @@ final class TripleStore(val root: String, spark: SparkSession) {
 
   Files.createDirectories(manifestDir)
 
-  def committedBatches(): Seq[String] =
-    Files.list(manifestDir).toArray.toSeq.map(_.toString)
-      .map(p => Paths.get(p).getFileName.toString)
-      .filter(_.endsWith(".commit")).map(_.stripSuffix(".commit")).sorted
+  private def manifestFiles(): Seq[Path] =
+    Files.list(manifestDir).toArray.toSeq.map(p => Paths.get(p.toString))
+      .filter(_.getFileName.toString.endsWith(".commit"))
 
-  /** Atomically commit one batch of triples. The manifest line carries
-    * per-partition lineage + metrics (north rule): one (file, rows) entry
-    * per task output file, plus per-predicate row counts.
-    * Returns total row count.
+  private val SupersedesRe = """"supersedes":\[([^\]]*)\]""".r
+  private val RowsRe = """"rows":(\d+)""".r
+
+  /** Live committed batch ids: manifested minus superseded-by-anyone.
+    * (A superseded manifest's own `supersedes` list still counts — a
+    * chain of rewrites keeps every replaced ancestor dead.)
     */
+  def committedBatches(): Seq[String] = {
+    val files = manifestFiles()
+    val all = files.map(_.getFileName.toString.stripSuffix(".commit"))
+    val dead = files.flatMap { f =>
+      SupersedesRe.findFirstMatchIn(Files.readString(f)).toSeq.flatMap(m =>
+        m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty))
+    }.toSet
+    all.filterNot(dead).sorted
+  }
+
   /** Hash-bucket count for the url-hash partition dimension (north_star:
     * triples "partitioned by lang and url-hash"). 16 buckets × languages
     * at test scale; a production Iceberg spec would use bucket(256, url).
     */
   val urlBuckets = 16
 
-  def commit(batch: String, triples: DataFrame): Long = {
+  /** Atomically commit one batch of triples. The manifest line carries
+    * per-partition lineage + metrics (north rule): one (file, rows) entry
+    * per task output file (from parquet footers — metadata only), plus
+    * per-predicate row counts (from an Observation on the write job — no
+    * re-read). Empty batches commit a rows:0 manifest. Returns total rows.
+    */
+  def commit(batch: String, triples: DataFrame, supersedes: Seq[String] = Nil): Long = {
     val dir = dataDir(batch)
     val withPartCols = triples
       .withColumn("lang",
         if (triples.columns.contains("lang")) coalesce(col("lang"), lit("und"))
         else lit("und"))
       .withColumn("bucket", pmod(xxhash64(col("subj")), lit(urlBuckets)))
-    withPartCols.write.mode(SaveMode.Overwrite)
+    val obs = new Observation()
+    val predCount = udaf(PredCounter)
+    withPartCols
+      // hash-distribute on the partition columns before the partitionBy
+      // write (Iceberg write.distribution-mode=hash): each (lang, bucket)
+      // dir gets ONE file per commit instead of one sliver per input
+      // task — bounded file counts at any batch size
+      .repartition(col("lang"), col("bucket"))
+      .observe(obs, count(lit(1)).as("rows"), predCount(col("pred")).as("preds"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("lang", "bucket")
       .parquet(dir)
-    val written = spark.read.parquet(dir)
-    val perPart = written
-      .groupBy(input_file_name().as("file")).count()
-      .collect()
-      .map(r => s"""{"file":"${r.getString(0).replace("\"", "")}","rows":${r.getLong(1)}}""")
+    val n = obs.get("rows").asInstanceOf[Long]
+    val predsJson = obs.get("preds").asInstanceOf[String]
+    val perPart = footerRowCounts(dir)
+      .map { case (f, r) => s"""{"file":"${f.replace("\"", "")}","rows":$r}""" }
       .sorted
-    val perPred = written.groupBy(col("pred")).count().collect()
-      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
-    val n = perPart.length match {
-      case 0 => 0L
-      case _ => written.count()
-    }
+    val supersedesJson =
+      if (supersedes.isEmpty) ""
+      else supersedes.sorted.map(s => s""""$s"""").mkString(""","supersedes":[""", ",", "]")
     val tmp = manifestDir.resolve(s"$batch.tmp")
     val fin = manifestDir.resolve(s"$batch.commit")
     Files.writeString(tmp,
       s"""{"batch":"$batch","rows":$n,"path":"$dir",""" +
-        s""""preds":${perPred.mkString("{", ",", "}")},""" +
-        s""""partitions":${perPart.mkString("[", ",", "]")}}""" + "\n")
-    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+        s""""preds":$predsJson,""" +
+        s""""partitions":${perPart.mkString("[", ",", "]")}""" +
+        supersedesJson + "}\n")
+    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     n
+  }
+
+  /** (relative file, rows) per data file from parquet footers — a
+    * metadata-only read (few KB per file), never the data pages.
+    */
+  private def footerRowCounts(dir: String): Seq[(String, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) return Seq.empty
+    val it = fs.listFiles(base, true)
+    val out = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try out += ((f.getPath.toString, reader.getRecordCount))
+        finally reader.close()
+      }
+    }
+    out.result()
   }
 
   /** All committed triples (subj, pred, obj, weight, lang, bucket, batch —
@@ -81,21 +162,33 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * filtering on lang or url-bucket scans only matching directories).
     */
   def committed(): DataFrame = {
-    val batches = committedBatches()
-    if (batches.isEmpty) {
-      import spark.implicits._
-      Seq.empty[(String, String, String, Long)]
-        .toDF("subj", "pred", "obj", "weight")
-    } else {
+    // skip rows:0 batches — their data dirs hold no parquet files (an
+    // empty partitionBy write emits none), so including them would break
+    // schema inference; their manifests still count for lineage/liveness
+    val batches = committedBatches().filter { b =>
+      val m = Files.readString(manifestDir.resolve(s"$b.commit"))
+      RowsRe.findFirstMatchIn(m).forall(_.group(1).toLong > 0L)
+    }
+    if (batches.isEmpty) emptyTriples()
+    else {
       spark.read
         .option("basePath", s"$root/data")
         .parquet(batches.map(dataDir): _*)
     }
   }
 
+  private def emptyTriples(): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, Long)]
+      .toDF("subj", "pred", "obj", "weight")
+  }
+
   /** The incremental anti-join (J1/J2): pages whose url has NO committed
     * triple with `pred` — Spark's first-class left_anti replaces the
     * reference's LEFT-JOIN-IS-NULL (`ner_extractor/db_io.py:37-55`).
+    * Run-scoped callers pass `Pred.processedFor(idRun)` so each model run
+    * tracks its own assignment frontier (reference
+    * `topics_detector/db_io.py:389-413`, PK `(id_news, id_run)`).
     */
   def unprocessed(pages: DataFrame, pred: String, urlCol: String = "url"): DataFrame = {
     val done = committed().filter(col("pred") === pred)
@@ -103,20 +196,57 @@ final class TripleStore(val root: String, spark: SparkSession) {
     pages.join(done, Seq(urlCol), "left_anti")
   }
 
-  /** Predicated delete (S7) — the reference's `overwrite` mode support:
-    * drop all batches' rows matching the predicate by rewriting committed
-    * data (copy-on-write, like Iceberg DELETE FROM).
+  /** Predicated delete (S7) — reference `overwrite` mode: copy-on-write
+    * rewrite of ONLY the batches containing matching rows, atomically
+    * swapped in via a superseding manifest. Crash-safety: until the
+    * rewrite manifest's atomic rename, every prior batch stays live;
+    * after it, the rewrite supersedes exactly the affected batches.
+    * Superseded manifests/data are then best-effort cleaned (a crash
+    * mid-cleanup changes nothing — they are already dead).
     */
-  def deleteWhere(condition: org.apache.spark.sql.Column): Unit = {
-    val remaining = committed().filter(!condition)
-      .drop("batch", "bucket") // re-derived on commit
-    val batches = committedBatches()
-    val staged = s"$root/data_staged"
-    remaining.write.mode(SaveMode.Overwrite).parquet(staged)
-    batches.foreach { b =>
-      Files.delete(manifestDir.resolve(s"$b.commit"))
+  def deleteWhere(condition: Column): Unit =
+    rewriteExcluding(df => df.filter(condition), df => df.filter(!condition))
+
+  /** Scoped delete (reference `topics_detector/db_io.py:334-345`): drop
+    * rows matching `condition` whose subj is in `subjKeys` (a DataFrame
+    * with column `subj`) — the run+source-scoped overwrite delete. The
+    * scope arrives as a semi-join, never a collected IN-list.
+    */
+  def deleteScoped(condition: Column, subjKeys: DataFrame): Unit = {
+    val keys = subjKeys.select(col("subj")).distinct()
+    rewriteExcluding(
+      df => df.filter(condition).join(keys, Seq("subj"), "left_semi"),
+      df => df.filter(!condition).unionByName(
+        df.filter(condition).join(keys, Seq("subj"), "left_anti"),
+        allowMissingColumns = false))
+  }
+
+  private def rewriteExcluding(
+      matching: DataFrame => DataFrame,
+      keep: DataFrame => DataFrame): Unit = {
+    val live = committedBatches()
+    if (live.isEmpty) return
+    // one pruned scan finds which batches contain matching rows (batch is
+    // a partition column; predicates on lang/bucket prune directories)
+    val affected = matching(committed()).select(col("batch").cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) return
+    val affectedData = spark.read
+      .option("basePath", s"$root/data")
+      .parquet(affected.map(dataDir).toIndexedSeq: _*)
+    val remaining = keep(affectedData).drop("batch", "bucket") // re-derived on commit
+    // deterministic rewrite id: a crashed delete retried with the same
+    // store state recomputes the same affected set → same staging dir
+    val rid = "zrewrite-" + graft.util.Hashing.xxhash64(affected.mkString(",")).toHexString
+    commit(rid, remaining, supersedes = affected)
+    // best-effort cleanup of dead manifests + data (already superseded)
+    affected.foreach { b =>
+      try {
+        Files.deleteIfExists(manifestDir.resolve(s"$b.commit"))
+        val p = new org.apache.hadoop.fs.Path(dataDir(b))
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(p, true)
+      } catch { case _: java.io.IOException => () }
     }
-    val reborn = spark.read.parquet(staged)
-    commit("00000-rewrite", reborn)
   }
 }

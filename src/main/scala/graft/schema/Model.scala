@@ -85,4 +85,17 @@ object Pred {
     * reference — markers are engine metadata.
     */
   val Processed = "processedIn"
+
+  /** Run-scoped marker predicate (J1's `id_run` dimension, reference
+    * `topics_detector/db_io.py:389-413`; `topics_per_news` PK is
+    * `(id_news, id_run)`, `db/schema.sql:106-119`): each model run tracks
+    * its own assignment frontier, so activating a NEW run incrementally
+    * re-assigns every page while an old run's assignments are preserved.
+    */
+  def processedFor(idRun: String): String = s"$Processed:$idRun"
+
+  /** Run-scoped hasTopic predicate — the triple-store encoding of the
+    * reference's `(id_news, id_run)` topic-assignment key.
+    */
+  def hasTopicFor(idRun: String): String = s"$HasTopic:$idRun"
 }

@@ -36,20 +36,42 @@ object MicroBatch {
   def runIndex(startEpochSec: Long, nowEpochSec: Long, periodSeconds: Long): Long =
     math.floor((nowEpochSec - startEpochSec).toDouble / periodSeconds).toLong
 
-  /** Distributed slice selector: deterministic global order (orderCol must
-    * be unique), row_number window, range filter. The window is a single
-    * global sort — acceptable because feed slices are tiny by construction
-    * (fraction ≪ 1); at scale the input would be pre-sorted/bucketed on
-    * orderCol and this becomes a metadata-only range scan.
+  /** Distributed slice selector: deterministic global order (orderCol
+    * must be unique) WITHOUT a global single-task window. Global row
+    * numbers are assembled as (range-partition offset + local rank):
+    *
+    *   1. `repartitionByRange(orderCol)` — a parallel range shuffle
+    *      (RangePartitioner's sampling is deterministic per lineage);
+    *   2. one tiny count-per-partition job → driver-side offset cumsum
+    *      (P numbers, not data);
+    *   3. local `row_number` windows partitioned by the range bucket —
+    *      every task ranks only its own range, no "No Partition Defined"
+    *      single-task funnel.
+    *
+    * At scale the input would be bucketed on orderCol and step 1 becomes
+    * a metadata-only ordering; the shape here keeps all shuffles balanced.
     */
   def slice(df: DataFrame, orderCol: String, fraction: Double, runIdx: Long, loop: Boolean): DataFrame = {
+    val spark = df.sparkSession
     val total = df.count()
     val (start, end) = sliceBounds(total, fraction, runIdx, loop)
-    if (start == end) df.limit(0)
-    else df
-      .withColumn("_rn", row_number().over(Window.orderBy(col(orderCol))).cast("long") - 1)
+    if (start == end) return df.limit(0)
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      math.max(1L, total / 1000L).min(Int.MaxValue).toInt))
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val counts = ranged.groupBy(col("_pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("_pid", "_off"))
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+    ranged.join(offDf, Seq("_pid"))
+      .withColumn("_rn", row_number().over(w).cast("long") - 1 + col("_off"))
       .filter(col("_rn") >= start && col("_rn") < end)
-      .drop("_rn")
+      .drop("_rn", "_pid", "_off")
   }
 
   /** Structured Streaming ingestion of a parquet directory with

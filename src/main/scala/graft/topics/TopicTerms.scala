@@ -73,16 +73,21 @@ object TopicTerms {
       textCol: String = "clean"): DataFrame = {
     val spark = cleaned.sparkSession
     import spark.implicits._
-    val contrib = contributions(cleaned, params, urlCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = contrib.filter($"term_idx" === SizeMarker)
-      .groupBy($"id_topic").agg(count(lit(1)).as("topic_size"))
-    val sums = contrib.filter($"term_idx" =!= SizeMarker)
+    // ONE aggregation over (id_topic, term_idx) covers both the term sums
+    // and the size markers; the two branches below are canonically
+    // identical subtrees, so ReuseExchange computes the shuffle once —
+    // no persist, no JVM-lifetime cache leak (round-1 ADVICE).
+    val agg = contributions(cleaned, params, urlCol, textCol)
       .groupBy($"id_topic", $"term_idx").agg(sum($"w").as("w_sum"))
+    val sizes = agg.filter($"term_idx" === SizeMarker)
+      .select($"id_topic", $"w_sum".cast("long").as("topic_size"))
+    val sums = agg.filter($"term_idx" =!= SizeMarker)
     val vocab = params.value.vocab.zipWithIndex
       .map { case (t, i) => (i, t) }.toSeq.toDF("term_idx", "term")
+    // rank on the ROUNDED weight (ties → term asc): makes the ordering
+    // restatable by a SQL oracle without double-summation-order hazards
     val w = Window.partitionBy($"id_topic")
-      .orderBy($"weight".desc, $"term".asc)
+      .orderBy(round($"weight", 6).desc, $"term".asc)
     sums
       .join(broadcast(sizes), Seq("id_topic"))
       .withColumn("weight", $"w_sum" / $"topic_size")

@@ -105,6 +105,44 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall brute=$brute ann=$ann")
   }
 
+  test("charShingleJaccard stop-shingle guard: one boilerplate shingle shared by 5000 docs does not explode") {
+    import spark.implicits._
+    // 5000 docs sharing the same boilerplate prefix: without the
+    // max-df guard the prefix shingles alone produce ~5000² join rows
+    // PER SHINGLE; with it they are dropped before the self-join.
+    val boiler = "all rights reserved worldwide by the publisher "
+    val docs = (0L until 5000L)
+      .map { i =>
+        // suffixes are random hex — no two docs share a low-df shingle
+        val a = graft.util.Hashing.splitmix64(i).toHexString
+        val b = graft.util.Hashing.splitmix64(i + 1000000L).toHexString
+        (i, s"$boiler$a $b")
+      }
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.charShingleJaccard(docs, threshold = 0.3, maxShingleDf = 100L)
+    val n = pairs.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // suffixes are unique → after dropping boilerplate shingles no pair
+    // reaches the threshold; and the guarded plan completes quickly
+    assert(n === 0L, s"$n pairs")
+    assert(sec < 60.0, f"took $sec%.1f s — hot-shingle join not bounded")
+  }
+
+  test("charShingleJaccard: guard keeps exact Jaccard over the FILTERED shingle space") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaabbbbccccddddeeee"),
+      (2L, "aaaabbbbccccddddffff"),
+      (3L, "zzzzyyyyxxxxwwwwvvvv"))
+      .toDF("doc_id", "text")
+    val unguarded = Dedup.charShingleJaccard(docs, threshold = 0.1)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val guardedHigh = Dedup.charShingleJaccard(docs, threshold = 0.1, maxShingleDf = 1000L)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(guardedHigh === unguarded) // cap above every df → identical
+  }
+
   test("brute-force cosine matches driver-side math") {
     import spark.implicits._
     val q = Array(1.0, 0.0, 1.0)

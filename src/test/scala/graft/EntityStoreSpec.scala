@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{EntityStore, KgPipeline, TripleStore}
+import graft.fixtures.PageGen
+import graft.ner.FixtureGazetteer
+import graft.schema.Pred
+
+/** Persistent entity dictionary with cross-batch MERGE (reference
+  * `ner_extractor/db_io.py:64-121` + `jobs/ner_extractor_inference_job
+  * .py:67-83`, with SURVEY §2.9 #1's deterministic-id fix), and the
+  * run-scoped incremental assignment dimension (J1 `id_run` parity,
+  * `topics_detector/db_io.py:389-413`).
+  */
+class EntityStoreSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def rows(xs: (String, String, String, String, Long)*) = {
+    import spark.implicits._
+    xs.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
+  }
+
+  test("two merged batches equal a full recompute over the union") {
+    val es = new EntityStore(tmp("graft_es_"), spark)
+    val b1 = rows(
+      ("u1", "spark", "ORG", "Spark", 2L),
+      ("u1", "spark", "ORG", "SPARK", 1L),
+      ("u2", "spark", "ORG", "Spark", 1L))
+    val b2 = rows(
+      ("u3", "spark", "ORG", "SPARK", 3L), // flips the modal surface form
+      ("u3", "paris", "GPE", "Paris", 1L))
+    assert(es.merge("b1", b1))
+    assert(es.merge("b2", b2))
+    val full = graft.link.EntityLink
+      .dictFromSurfaceRows(b1.unionByName(b2)).toDF()
+      .orderBy("entity_text_norm", "entity_type")
+      .collect().toSeq
+    val merged = es.dict().toDF()
+      .orderBy("entity_text_norm", "entity_type")
+      .collect().toSeq
+    assert(merged === full)
+    // late batch flipped the modal form exactly as a recompute would
+    val sparkRow = es.dict().filter(col("entity_text_norm") === "spark").head()
+    assert(sparkRow.entity_text === "SPARK")
+    assert(sparkRow.entity_mentions_count === 7L)
+    assert(sparkRow.news_count === 3L)
+  }
+
+  test("merge is idempotent per batch id (retry no-op)") {
+    val es = new EntityStore(tmp("graft_es_"), spark)
+    val b1 = rows(("u1", "spark", "ORG", "Spark", 2L))
+    assert(es.merge("b1", b1))
+    val before = es.dict().collect().toSeq
+    assert(!es.merge("b1", b1)) // retry
+    assert(!es.merge("b1", rows(("u9", "other", "ORG", "Other", 9L)))) // even with drift
+    assert(es.dict().collect().toSeq === before)
+  }
+
+  test("runIncremental maintains the dictionary across batches; kill between merge and commit resumes exactly") {
+    import spark.implicits._
+    val store = new TripleStore(tmp("graft_ts_"), spark)
+    val es = new EntityStore(tmp("graft_es_"), spark)
+    val trie = spark.sparkContext.broadcast(FixtureGazetteer.trie)
+    val params = spark.sparkContext.broadcast(SparkEntry.fixtureModel)
+    val all = PageGen.pages(spark, 120L).toDF()
+    val p1 = all.filter(xxhash64(col("url")) % 2 === 0)
+    KgPipeline.runIncremental(store, "b1", p1, trie, params,
+      entityStore = Some(es))
+    // simulate a crash AFTER the dict merge but BEFORE the triple commit
+    // of b2: merge directly, leave no markers
+    val analyzed2 = KgPipeline.analyze(
+      store.unprocessed(all, Pred.Processed), trie, params)
+    es.merge("b2", KgPipeline.surfaceRows(analyzed2))
+    // retry of b2 must no-op the merge and commit the same pages
+    KgPipeline.runIncremental(store, "b2", all, trie, params,
+      entityStore = Some(es))
+    // dictionary equals a single-shot recompute over ALL pages
+    val analyzedAll = KgPipeline.analyze(all, trie, params)
+    val oracle = graft.link.EntityLink
+      .dictFromSurfaceRows(KgPipeline.surfaceRows(analyzedAll)).toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq
+    val got = es.dict().toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq
+    assert(got === oracle)
+    assert(es.mergedBatches() === Set("b1", "b2"))
+    // and every page is marked processed exactly once
+    val markers = store.committed().filter(col("pred") === Pred.Processed)
+    assert(markers.count() === 120L)
+    assert(markers.select("subj").distinct().count() === 120L)
+  }
+
+  test("run-scoped incremental: a new run re-assigns, the old run is preserved") {
+    import spark.implicits._
+    val store = new TripleStore(tmp("graft_ts_"), spark)
+    val docs = (0L until 40L).map(i => (s"u$i", "en", s"text $i"))
+      .toDF("url", "lang", "clean")
+    val firstHalf = docs.filter(xxhash64(col("url")) % 2 === 0)
+    def assignMod(m: Int)(in: org.apache.spark.sql.DataFrame) =
+      in.select(col("url"), col("lang"),
+        pmod(xxhash64(col("url")), lit(m)).cast("int").as("id_topic"))
+    // run1 lands in two batches; second input OVERLAPS the first
+    KgPipeline.assignTopicsIncremental(store, "r1b1", "run1", firstHalf, assignMod(5))
+    KgPipeline.assignTopicsIncremental(store, "r1b2", "run1", docs, assignMod(5))
+    // run2 (a new model) re-assigns EVERYTHING despite run1's markers
+    KgPipeline.assignTopicsIncremental(store, "r2b1", "run2", docs, assignMod(3))
+    val byPred = store.committed().groupBy("pred").count()
+      .as[(String, Long)].collect().toMap
+    assert(byPred(Pred.hasTopicFor("run1")) === 40L)
+    assert(byPred(Pred.hasTopicFor("run2")) === 40L)
+    // each url assigned exactly once per run (no overlap reprocessing)
+    val r1 = store.committed().filter(col("pred") === Pred.hasTopicFor("run1"))
+    assert(r1.select("subj").distinct().count() === 40L)
+    // batch lineage: overlapped urls carry the FIRST batch's marker
+    val m1 = store.committed()
+      .filter(col("pred") === Pred.processedFor("run1") && col("obj") === "r1b1")
+    assert(m1.count() === firstHalf.count())
+  }
+
+  test("overwriteTopics: scoped delete + recompute changes only in-scope pages of that run") {
+    import spark.implicits._
+    val store = new TripleStore(tmp("graft_ts_"), spark)
+    val docs = (0L until 30L).map(i => (s"u$i", "en", s"text $i"))
+      .toDF("url", "lang", "clean")
+    def assign(m: Int)(in: org.apache.spark.sql.DataFrame) =
+      in.select(col("url"), col("lang"),
+        pmod(xxhash64(col("url")), lit(m)).cast("int").as("id_topic"))
+    KgPipeline.assignTopicsIncremental(store, "b1", "run1", docs, assign(5))
+    KgPipeline.assignTopicsIncremental(store, "b2", "run2", docs, assign(5))
+    val scope = docs.filter(xxhash64(col("url")) % 3 === 0)
+    // overwrite run1's assignments for the scope with a DIFFERENT model
+    KgPipeline.overwriteTopics(store, "b3", "run1", scope, assign(2))
+    val run1 = store.committed().filter(col("pred") === Pred.hasTopicFor("run1"))
+      .select(col("subj"), col("obj")).as[(String, String)].collect().toMap
+    val scopeUrls = scope.select("url").as[String].collect().toSet
+    docs.select("url").as[String].collect().foreach { u =>
+      val expectMod = if (scopeUrls.contains(u)) 2 else 5
+      val topic = s"topic_${math.floorMod(graft.util.Hashing.xxhash64(u), expectMod.toLong)}"
+      assert(run1(u) === topic, s"url $u run1")
+    }
+    // run2 untouched by run1's overwrite
+    assert(store.committed().filter(col("pred") === Pred.hasTopicFor("run2"))
+      .count() === 30L)
+  }
+}

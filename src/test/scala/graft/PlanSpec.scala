@@ -82,4 +82,31 @@ class PlanSpec extends SparkSpec {
     // the whole clean chain is a single Project directly over the scan
     assert(p.contains("regexp_replace") && p.contains("FileScan parquet"), p)
   }
+
+  test("LshIndex probe prunes to the query's (tbl, kb) partitions") {
+    import spark.implicits._
+    val dim = 16
+    val rng = new java.util.Random(3)
+    val emb = (0 until 400).map(i => (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = graft.ops.LshIndex.Params(bits = 8, tables = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshplan_").toString
+    graft.ops.LshIndex.build(emb, dir, p)
+    val q = Array.fill(dim)(rng.nextGaussian())
+    val probe = graft.ops.LshIndex.topK(spark, dir, q, k = 5, p = p)
+    probe.collect() // materialize so AQE finalizes the scan
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("tbl"),
+      s"probe must prune on partition columns:\n$plan")
+    // the probe reads ≤ tables bucket dirs, not the whole index
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    val allParts = new java.io.File(dir).listFiles().count(_.getName.startsWith("tbl="))
+    assert(allParts === p.tables) // layout sanity
+    // candidates equal the one-shot path's (same plane family)
+    val oneShot = graft.ops.Similarity.lshTopK(emb, q, k = 5,
+      bits = p.bits, tables = p.tables, seed = p.seed)
+      .as[(Long, Double)].collect().toSeq
+    val indexed = probe.as[(Long, Double)].collect().toSeq
+    assert(indexed === oneShot)
+  }
 }
