@@ -43,9 +43,17 @@ object ScalingBench {
       // 3 shuffle partitions per core: multiple waves load-balance the
       // stage tail (a single wave leaves cores idle behind stragglers)
       .config("spark.sql.shuffle.partitions", cores * 3)
+      // finer input splits (default 128 MB → 22 splits on the 2.2 GB
+      // staged input = 2.75 ragged waves at 8 cores): ~32 MB splits give
+      // every level enough waves to smooth the stage tail
+      .config("spark.sql.files.maxPartitionBytes", 32 * 1024 * 1024)
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE's stage-by-stage driver coordination is part of the serial
+      // floor; allow toggling it for the N-vs-4N protocol experiments
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -57,15 +65,18 @@ object ScalingBench {
     import spark.implicits._
     val aliases = FixtureGazetteer.aliasPairs.toDF("norm_a", "norm_b", "entity_type")
     val pages = spark.read.parquet(inputDir)
-    val out = KgPipeline.run(pages, trie, params, Some(aliases))
-    // ONE materialization: the noop write evaluates every output row and
-    // the Observation counts them in the same job — no second pass, no
-    // cache of the result
-    val obs = new org.apache.spark.sql.Observation()
-    out.observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .write.format("noop").mode("overwrite").save()
-    obs.get("n").asInstanceOf[Long]
+    // runManaged: persist the compact analysis for its two consumers,
+    // release it after the materialization (no leak across repetitions)
+    KgPipeline.runManaged(pages, trie, params, Some(aliases)) { out =>
+      // ONE materialization: the noop write evaluates every output row
+      // and the Observation counts them in the same job — no second
+      // pass, no cache of the result
+      val obs = new org.apache.spark.sql.Observation()
+      out.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      obs.get("n").asInstanceOf[Long]
+    }
   }
 
   def main(args: Array[String]): Unit = args.toList match {

@@ -213,31 +213,90 @@ object KgPipeline {
     }.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
   }
 
-  /** Triples from an already-analyzed Dataset. Callers that consume
-    * `analyzed` more than once (this derives 1-2 passes) own its caching
-    * lifecycle — see [[runManaged]]/[[runIncremental]].
+  /** Mention + hasTopic triples in ONE narrow pass over the compact
+    * analysis — per page: one topic row + one row per distinct entity.
     */
-  def triplesFromAnalysis(
-      analyzed: Dataset[PageAnalysis],
-      aliases: Option[DataFrame] = None): DataFrame = {
+  def pageTriples(analyzed: Dataset[PageAnalysis]): DataFrame = {
     val spark = analyzed.sparkSession
     import spark.implicits._
-    // mention AND hasTopic triples in ONE narrow pass over the compact
-    // analysis — per page: one topic row + one row per distinct entity
-    val pageTriples = analyzed.flatMap { a =>
+    analyzed.flatMap { a =>
       val byEntity = a.surfaces.groupBy(s => (s.entity_text_norm, s.entity_type))
       val mt = byEntity.toSeq.sortBy(_._1).map { case ((norm, tpe), ss) =>
         (a.url, Pred.Mentions, s"$norm|$tpe", ss.map(_.n).sum, a.lang)
       }
       (a.url, Pred.HasTopic, s"topic_${a.id_topic}", 1L, a.lang) +: mt
     }.toDF("subj", "pred", "obj", "weight", "lang")
+  }
+
+  /** Entity dictionary from the compact analysis — the analysis-aware
+    * fast path of [[EntityLink.dictFromSurfaceRows]] (row-identical,
+    * pinned by EntityLinkSpec). Because a PageAnalysis's surfaces are
+    * in-page unique by construction, news_count needs NO url-level
+    * distinct (the generic path shuffles ~3 string-rows/page for it —
+    * measured 150+ executor-seconds at 8M pages): one flatMap emits the
+    * surface rows plus one null-surface marker per (page, entity), and a
+    * single dict-key shuffle with map-side combine aggregates both.
+    */
+  def dictFromAnalysis(analyzed: Dataset[PageAnalysis]): DataFrame = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    val tagged = analyzed.flatMap { a =>
+      val per = a.surfaces.iterator
+        .map(s => (s.entity_text_norm, s.entity_type, s.entity_text, s.n))
+      val marks = a.surfaces.iterator
+        .map(s => (s.entity_text_norm, s.entity_type)).distinct
+        .map { case (n, t) => (n, t, null: String, 1L) }
+      (per ++ marks).toSeq
+    }.toDF("entity_text_norm", "entity_type", "entity_text", "n")
+    // ONE linear chain — no branch, no join (branching on the null tag
+    // pushes the filters below the aggregate and defeats exchange reuse,
+    // doubling the cache scan): agg1 totals per surface (marker rows
+    // aggregate under null), agg2 folds surfaces into the dict row with
+    // conditional aggregates; null-tag rows get the worst modal order.
+    val agg = tagged
+      .groupBy($"entity_text_norm", $"entity_type", $"entity_text")
+      .agg(sum($"n").as("c"))
+    agg
+      .groupBy($"entity_text_norm", $"entity_type")
+      .agg(
+        min_by($"entity_text",
+          struct(
+            when($"entity_text".isNull, lit(Long.MaxValue)).otherwise(-$"c").as("nc"),
+            coalesce($"entity_text", lit("￿")).as("t")))
+          .as("entity_text"),
+        sum(when($"entity_text".isNotNull, $"c").otherwise(0L))
+          .as("entity_mentions_count"),
+        sum(when($"entity_text".isNull, $"c").otherwise(0L))
+          .as("news_count"))
+      .select(
+        graft.functions.Text.entityId($"entity_text_norm", $"entity_type").as("id_entity"),
+        $"entity_text", $"entity_text_norm", $"entity_type",
+        $"entity_mentions_count", $"news_count")
+  }
+
+  /** Triples from an already-analyzed Dataset. Callers that consume
+    * `analyzed` more than once (this derives 1-2 passes) own its caching
+    * lifecycle — see [[runManaged]]/[[runIncremental]]. `preparedDict`
+    * lets a lifecycle-owning caller supply a CACHED dictionary: the
+    * sameAs path otherwise re-aggregates the full analysis once per
+    * dictionary consumer (edge build, key render ×2 — measured 4 extra
+    * full-cache scans per run at 8M pages).
+    */
+  def triplesFromAnalysis(
+      analyzed: Dataset[PageAnalysis],
+      aliases: Option[DataFrame] = None,
+      preparedDict: Option[DataFrame] = None): DataFrame = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    val pt = pageTriples(analyzed)
     val sa = aliases.map { al =>
-      val dict = EntityLink.dictFromSurfaceRows(surfaceRows(analyzed)).toDF()
+      val dict = preparedDict.getOrElse(
+        EntityLink.dictFromSurfaceRows(surfaceRows(analyzed)).toDF())
       sameAsTriples(dict, al)
     }.getOrElse(
       Seq.empty[(String, String, String, Long, String)]
         .toDF("subj", "pred", "obj", "weight", "lang"))
-    pageTriples.unionByName(sa)
+    pt.unionByName(sa)
   }
 
   /** Full run over a pages DataFrame; returns the complete triple set
@@ -276,8 +335,26 @@ object KgPipeline {
       cfg: Config = Config())(use: DataFrame => T): T = {
     val analyzed = analyze(pages, trie, params, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try use(triplesFromAnalysis(analyzed, aliases))
-    finally analyzed.unpersist(blocking = false)
+    // EAGER materialization, in dependency order. Handing `use` a lazy
+    // plan over unfilled caches lets its broadcast-exchange jobs run
+    // CONCURRENTLY with the main job and recompute the analysis for
+    // every not-yet-cached partition (measured: +297 executor-seconds of
+    // duplicated work at 8M pages — the whole narrow pass again).
+    analyzed.count()
+    // the dictionary is corpus-aggregated but dictionary-SIZED (≪ data);
+    // caching it spares the sameAs path's 3-4 consumers a full re-scan
+    // of the analysis each
+    val dict = aliases.map { _ =>
+      val d = dictFromAnalysis(analyzed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
+    try use(triplesFromAnalysis(analyzed, aliases, preparedDict = dict))
+    finally {
+      dict.foreach(_.unpersist(blocking = false))
+      analyzed.unpersist(blocking = false)
+    }
   }
 
   /** The stage-composed variant (operators individually reusable /

@@ -162,4 +162,19 @@ class PipelineSpec extends SparkSpec {
     assert(counts.getOrElse(Pred.HasTopic, 0L) > 0L)
     assert(counts.getOrElse(Pred.SameAs, 0L) > 0L)
   }
+
+  test("dictFromAnalysis equals the generic dictFromSurfaceRows (fast path parity)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val trie = spark.sparkContext.broadcast(graft.ner.FixtureGazetteer.trie)
+    val params = spark.sparkContext.broadcast(SparkEntry.fixtureModel)
+    val analyzed = graft.pipeline.KgPipeline.analyze(
+      graft.fixtures.PageGen.pages(spark, 300L).toDF(), trie, params)
+    val fast = graft.pipeline.KgPipeline.dictFromAnalysis(analyzed)
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq
+    val generic = graft.link.EntityLink
+      .dictFromSurfaceRows(graft.pipeline.KgPipeline.surfaceRows(analyzed)).toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq
+    assert(fast === generic)
+  }
 }
