@@ -48,6 +48,20 @@ object SparkEntry {
   private val enStopsSql = TextAnalysis.enStops.map(s => s"'$s'").mkString(", ")
   private val esStopsSql = TextAnalysis.esStops.map(s => s"'$s'").mkString(", ")
 
+  // fixture-gazetteer VALUES for the q31 oracle (all entries are 1-2
+  // whitespace tokens; the clean text is lowercase so norm == phrase)
+  private def fixtureSinglesSql: String = FixtureGazetteer.all
+    .filter(!_.phrase.contains(" "))
+    .map(g => s"('${g.phrase}', '${g.entityType}')").mkString(", ")
+  private def fixtureDoublesSql: String = FixtureGazetteer.all
+    .filter(_.phrase.contains(" "))
+    .map { g =>
+      val Array(w1, w2) = g.phrase.split(" ")
+      s"('$w1', '$w2', '${g.phrase}', '${g.entityType}')"
+    }.mkString(", ")
+  private def fixtureAliasSql: String = FixtureGazetteer.aliasPairs
+    .map { case (a, b, t) => s"('$a', '$b', '$t')" }.mkString(", ")
+
   private def docMentions(s: SparkSession, dir: String) = {
     val trie = s.sparkContext.broadcast(TokenTrie(docGaz))
     NerExtractor.extractMentions(
@@ -266,6 +280,12 @@ object SparkEntry {
       docs(s, d).select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
     }),
     "q19_fingerprint" -> ((s, d) => {
+      // DuckDB has no xxhash64 — stage the per-token hash dictionary
+      // (computed by Spark's own xxhash64) and let the oracle restate
+      // the ORDER-SENSITIVE Horner fold over it with list_reduce
+      Stage.write("q19_token_hash",
+        docs(s, d).select(explode(split(col("text"), " ")).as("token")).distinct()
+          .withColumn("h", pmod(xxhash64(col("token")), lit(2147483629L))))
       docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")).orderBy(col("doc_id"))
     }),
@@ -365,15 +385,50 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
-    // --- KG pipeline & model scoring (no SQL oracle; determinism pinned
-    //     by ScalaTest; driver records rows-only) ---
+    // --- KG pipeline & model scoring ---
     "q31_kg_triples" -> ((s, _) => {
+      // the FLAGSHIP gets a full oracle: DuckDB restates hasTopic (via
+      // the staged model, as q32), mentions (token-sequence counting ≡
+      // trie longest-match — the gazetteer's single nested entry
+      // "biden" ⊂ "joe biden" gets an explicit correction), and sameAs
+      // (alias edges over staged entity ids + recursive-CTE components)
+      import s.implicits._
+      val pages = cleanedPages(s, 1000L)
+      Stage.write("q31_cleaned", pages.select(col("url"), col("lang"), col("clean")))
+      Stage.write("q31_vocab", fixtureModel.vocab.zip(fixtureModel.idf)
+        .zipWithIndex.map { case ((t, i), ix) => (ix, t, i) }.toSeq
+        .toDF("term_idx", "term", "idf"))
+      Stage.write("q31_components", fixtureModel.components.zipWithIndex
+        .flatMap { case (row, ti) => row.zipWithIndex.map { case (v, c) => (ti, c, v) } }
+        .toSeq.toDF("term_idx", "comp", "v"))
+      Stage.write("q31_centroids", fixtureModel.centroids.zipWithIndex
+        .flatMap { case (row, t) => row.zipWithIndex.map { case (v, c) => (t, c, v) } }
+        .toSeq.toDF("id_topic", "comp", "v"))
+      // entity ids (xxhash64(norm, type) — not computable in DuckDB)
+      Stage.write("q31_entity_ids", FixtureGazetteer.all
+        .map(g => (g.phrase, g.entityType,
+          graft.util.Hashing.xxhash64(g.phrase, g.entityType)))
+        .toDF("norm", "etype", "id_entity"))
       kgTriples(s, 1000L)
         .orderBy(col("subj"), col("pred"), col("obj"))
     }),
     "q32_topic_assign" -> ((s, _) => {
+      // the FULL M1→M2→M3 chain gets an oracle: staged vocab/idf + SVD
+      // components + centroids let DuckDB restate tfidf → projection →
+      // L2 normalize → nearest-centroid argmin in SQL
+      import s.implicits._
       val params = s.sparkContext.broadcast(fixtureModel)
-      val pages = KgPipeline.withCleanText(PageGen.pages(s, 1000L).toDF())
+      val pages = cleanedPages(s, 1000L)
+      Stage.write("q32_cleaned", pages.select(col("url"), col("clean")))
+      Stage.write("q32_vocab", fixtureModel.vocab.zip(fixtureModel.idf)
+        .zipWithIndex.map { case ((t, i), ix) => (ix, t, i) }.toSeq
+        .toDF("term_idx", "term", "idf"))
+      Stage.write("q32_components", fixtureModel.components.zipWithIndex
+        .flatMap { case (row, ti) => row.zipWithIndex.map { case (v, c) => (ti, c, v) } }
+        .toSeq.toDF("term_idx", "comp", "v"))
+      Stage.write("q32_centroids", fixtureModel.centroids.zipWithIndex
+        .flatMap { case (row, t) => row.zipWithIndex.map { case (v, c) => (t, c, v) } }
+        .toSeq.toDF("id_topic", "comp", "v"))
       TopicScorer.assignTopics(pages, params, textCol = "clean").toDF()
         .select(col("url"), col("id_topic"), round(col("dist_centroid"), 6).as("dist"))
         .orderBy(col("url"))
@@ -383,6 +438,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q34_simhash" -> ((s, d) => {
+      // staged raw token hashes let the oracle recompute the 64-bit
+      // SimHash (±1 bit votes), the 4×16-bit pigeonhole bands and the
+      // hamming verify entirely in SQL (hugeint bit arithmetic)
+      Stage.write("q34_token_hash",
+        docs(s, d).select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "").distinct()
+          .withColumn("h", xxhash64(col("token"))))
       Dedup.simHashPairs(docs(s, d), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -810,6 +872,170 @@ object SparkEntry {
                 CAST(sum(n) AS BIGINT) AS entity_mentions_count,
                 count(DISTINCT doc_id) AS news_count
          FROM m2 GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+    // the FLAGSHIP pipeline, fully restated: hasTopic via the staged
+    // model chain, mentions via token-sequence counting (≡ trie
+    // longest-match; the generic nested-entry correction subtracts
+    // container-double counts), sameAs via recursive-CTE components
+    // over alias edges with staged entity ids
+    "q31_kg_triples" ->
+      s"""WITH RECURSIVE
+         cleaned AS (SELECT url, lang, clean FROM read_parquet('${Stage.glob("q31_cleaned")}')),
+         vocab AS (SELECT term_idx, term, idf FROM read_parquet('${Stage.glob("q31_vocab")}')),
+         comps AS (SELECT term_idx, comp, v FROM read_parquet('${Stage.glob("q31_components")}')),
+         cents AS (SELECT id_topic, comp, v FROM read_parquet('${Stage.glob("q31_centroids")}')),
+         eid AS (SELECT norm, etype, id_entity FROM read_parquet('${Stage.glob("q31_entity_ids")}')),
+         singles(phrase, etype) AS (SELECT * FROM (VALUES $fixtureSinglesSql) s(p, e)),
+         doubles(w1, w2, phrase, etype) AS (SELECT * FROM (VALUES $fixtureDoublesSql) d(a, b, p, e)),
+         aliases(norm_a, norm_b, aetype) AS (SELECT * FROM (VALUES $fixtureAliasSql) a(x, y, t)),
+         tk AS (SELECT url, regexp_extract_all(clean, '[\\p{L}\\p{N}_]{2,}') AS t FROM cleaned),
+         grams AS (SELECT url, unnest(list_concat(t,
+                    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS term FROM tk),
+         cnt AS (SELECT url, term, count(*) AS c FROM grams GROUP BY 1, 2),
+         tfv AS (SELECT url, term_idx, c * idf AS v0 FROM cnt JOIN vocab USING (term)),
+         nrm AS (SELECT url, sqrt(sum(v0 * v0)) AS l2 FROM tfv GROUP BY 1),
+         tfn AS (SELECT tfv.url, term_idx,
+                   CASE WHEN l2 > 0 THEN v0 / l2 ELSE v0 END AS vn
+                 FROM tfv JOIN nrm ON tfv.url = nrm.url),
+         proj AS (SELECT url, comp, sum(vn * comps.v) AS p
+                  FROM tfn JOIN comps USING (term_idx) GROUP BY 1, 2),
+         pn AS (SELECT url, sqrt(sum(p * p)) AS pl FROM proj GROUP BY 1),
+         projn AS (SELECT proj.url, comp,
+                     CASE WHEN pl > 0 THEN p / pl ELSE p END AS px
+                   FROM proj JOIN pn ON proj.url = pn.url),
+         dists AS (SELECT c.url, ct.id_topic,
+                     sum(pow(coalesce(px, 0) - ct.v, 2)) AS d2
+                   FROM cleaned c CROSS JOIN cents ct
+                   LEFT JOIN projn ON projn.url = c.url AND projn.comp = ct.comp
+                   GROUP BY 1, 2),
+         assigned AS (SELECT url, id_topic FROM (
+                        SELECT url, id_topic,
+                               row_number() OVER (PARTITION BY url ORDER BY d2, id_topic) AS rn
+                        FROM dists) WHERE rn = 1),
+         topic_rows AS (SELECT a.url AS subj, 'hasTopic' AS pred,
+                          'topic_' || CAST(id_topic AS VARCHAR) AS obj,
+                          CAST(1 AS BIGINT) AS weight, c.lang
+                        FROM assigned a JOIN cleaned c ON a.url = c.url),
+         toks AS (SELECT url, list_filter(string_split(clean, ' '), x -> x <> '') AS t FROM cleaned),
+         pos AS (SELECT url, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i FROM toks),
+         sc AS (SELECT url, phrase, etype, count(*) AS c
+                FROM pos JOIN singles ON tok = phrase GROUP BY 1, 2, 3),
+         dc AS (SELECT p1.url, phrase, etype, count(*) AS c
+                FROM pos p1 JOIN pos p2 ON p1.url = p2.url AND p2.i = p1.i + 1
+                JOIN doubles ON p1.tok = w1 AND p2.tok = w2
+                GROUP BY 1, 2, 3),
+         corr AS (SELECT s.phrase AS sp, s.etype AS se, d.phrase AS dp, d.etype AS de
+                  FROM singles s JOIN doubles d ON s.phrase = d.w1 OR s.phrase = d.w2),
+         scc AS (SELECT sc.url, sc.phrase, sc.etype,
+                   sc.c - coalesce(sum(dc.c), 0) AS c
+                 FROM sc
+                 LEFT JOIN corr ON corr.sp = sc.phrase AND corr.se = sc.etype
+                 LEFT JOIN dc ON dc.url = sc.url AND dc.phrase = corr.dp AND dc.etype = corr.de
+                 GROUP BY 1, 2, 3, sc.c),
+         men AS (SELECT url, phrase, etype, c FROM scc WHERE c > 0
+                 UNION ALL SELECT url, phrase, etype, c FROM dc),
+         mention_rows AS (SELECT m.url AS subj, 'mentions' AS pred,
+                            m.phrase || '|' || m.etype AS obj,
+                            CAST(m.c AS BIGINT) AS weight, c.lang
+                          FROM men m JOIN cleaned c ON m.url = c.url),
+         present AS (SELECT DISTINCT phrase, etype FROM men),
+         ed AS (SELECT e1.id_entity AS a, e2.id_entity AS b
+                FROM aliases al
+                JOIN present p1 ON p1.phrase = al.norm_a AND p1.etype = al.aetype
+                JOIN present p2 ON p2.phrase = al.norm_b AND p2.etype = al.aetype
+                JOIN eid e1 ON e1.norm = al.norm_a AND e1.etype = al.aetype
+                JOIN eid e2 ON e2.norm = al.norm_b AND e2.etype = al.aetype),
+         ue AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+         reach(src, dst) AS (
+           SELECT a, a FROM (SELECT a FROM ue UNION SELECT b FROM ue) n
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN ue e ON r.dst = e.a),
+         compo AS (SELECT src AS node, min(dst) AS canon FROM reach GROUP BY 1),
+         keyed AS (SELECT id_entity AS id, norm || '|' || etype AS key FROM eid),
+         sameas_rows AS (SELECT nk.key AS subj, 'sameAs' AS pred, ck.key AS obj,
+                           CAST(1 AS BIGINT) AS weight, 'und' AS lang
+                         FROM compo
+                         JOIN keyed nk ON nk.id = node
+                         JOIN keyed ck ON ck.id = canon
+                         WHERE node <> canon)
+         SELECT subj, pred, obj, weight, lang FROM (
+           SELECT * FROM topic_rows
+           UNION ALL SELECT * FROM mention_rows
+           UNION ALL SELECT * FROM sameas_rows)
+         ORDER BY subj, pred, obj""",
+    // order-sensitive Horner fold over staged token hashes (xxhash64 is
+    // not in DuckDB; the per-token dictionary IS the staged side-table)
+    "q19_fingerprint" ->
+      s"""WITH th AS (SELECT token, h FROM read_parquet('${Stage.glob("q19_token_hash")}')),
+         m AS (SELECT map(list(token), list(h)) AS mp FROM th),
+         d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+                list_reduce(
+                  list_concat([CAST(9961445 AS BIGINT)],
+                              list_transform(toks, t -> mp[t][1])),
+                  (acc, h) -> (acc * 31 + h) % 2147483629) AS fp
+         FROM d, m ORDER BY doc_id""",
+    // full SimHash restatement: ±1 bit votes from staged raw hashes
+    // (hugeint for unsigned bit arithmetic), 4×16-bit pigeonhole bands,
+    // hamming ≤ 3 verify
+    "q34_simhash" ->
+      s"""WITH th AS (SELECT token, h FROM read_parquet('${Stage.glob("q34_token_hash")}')),
+         toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                  FROM documents),
+         j AS (SELECT doc_id, (h::HUGEINT + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS uh
+               FROM toks JOIN th USING (token)),
+         votes AS (SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (uh >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                   FROM j, (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+         sims AS (SELECT doc_id,
+                    sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS usim
+                  FROM votes GROUP BY 1),
+         sims2 AS (SELECT doc_id, usim,
+                     CASE WHEN usim >= 9223372036854775808::HUGEINT
+                          THEN CAST(usim - 18446744073709551616::HUGEINT AS BIGINT)
+                          ELSE CAST(usim AS BIGINT) END AS sim
+                   FROM sims),
+         banded AS (SELECT doc_id, sim, b4.b AS band,
+                      CAST((usim >> (16 * b4.b)) & 65535 AS BIGINT) AS key
+                    FROM sims2, (SELECT unnest(range(4)) AS b) b4),
+         cands AS (SELECT DISTINCT a.doc_id AS id_a, a.sim AS sim_a,
+                          b.doc_id AS id_b, b.sim AS sim_b
+                   FROM banded a JOIN banded b
+                     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+         FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         ORDER BY id_a, id_b""",
+    // M1→M2→M3 restated: tfidf (staged vocab/idf) → x·V (staged SVD
+    // components) → L2 normalize → nearest centroid (staged centroids)
+    "q32_topic_assign" ->
+      s"""WITH cleaned AS (SELECT url, clean FROM read_parquet('${Stage.glob("q32_cleaned")}')),
+         vocab AS (SELECT term_idx, term, idf FROM read_parquet('${Stage.glob("q32_vocab")}')),
+         comps AS (SELECT term_idx, comp, v FROM read_parquet('${Stage.glob("q32_components")}')),
+         cents AS (SELECT id_topic, comp, v FROM read_parquet('${Stage.glob("q32_centroids")}')),
+         toks AS (SELECT url, regexp_extract_all(clean, '[\\p{L}\\p{N}_]{2,}') AS t FROM cleaned),
+         grams AS (SELECT url, unnest(list_concat(t,
+                    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS term FROM toks),
+         cnt AS (SELECT url, term, count(*) AS c FROM grams GROUP BY 1, 2),
+         tf AS (SELECT url, term_idx, c * idf AS v0 FROM cnt JOIN vocab USING (term)),
+         nrm AS (SELECT url, sqrt(sum(v0 * v0)) AS l2 FROM tf GROUP BY 1),
+         tfn AS (SELECT tf.url, term_idx,
+                   CASE WHEN l2 > 0 THEN v0 / l2 ELSE v0 END AS vn
+                 FROM tf JOIN nrm ON tf.url = nrm.url),
+         proj AS (SELECT url, comp, sum(vn * comps.v) AS p
+                  FROM tfn JOIN comps USING (term_idx) GROUP BY 1, 2),
+         pn AS (SELECT url, sqrt(sum(p * p)) AS pl FROM proj GROUP BY 1),
+         projn AS (SELECT proj.url, comp,
+                     CASE WHEN pl > 0 THEN p / pl ELSE p END AS px
+                   FROM proj JOIN pn ON proj.url = pn.url),
+         dists AS (SELECT c.url, ct.id_topic,
+                     sum(pow(coalesce(px, 0) - ct.v, 2)) AS d2
+                   FROM cleaned c CROSS JOIN cents ct
+                   LEFT JOIN projn ON projn.url = c.url AND projn.comp = ct.comp
+                   GROUP BY 1, 2),
+         rk AS (SELECT url, id_topic, sqrt(d2) AS dist,
+                  row_number() OVER (PARTITION BY url ORDER BY d2, id_topic) AS rn
+                FROM dists)
+         SELECT url, id_topic, round(dist, 6) AS dist FROM rk
+         WHERE rn = 1 ORDER BY url""",
     "q41_run_scoped_incremental" ->
       """WITH t AS (
            SELECT doc_id, 'hasTopic:run1' AS pred,
