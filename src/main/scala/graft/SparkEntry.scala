@@ -100,8 +100,15 @@ object SparkEntry {
   private object Stage {
     val dir: String =
       java.nio.file.Paths.get("target", "verify_stage").toAbsolutePath.toString
+    /** Staging only runs under Verify (which sets this property): it is
+      * verification infrastructure, not operator work — Bench timings
+      * must measure the operator, and the staged tables are only read
+      * by the DuckDB oracle that follows a Verify run.
+      */
+    def enabled: Boolean = sys.props.get("graft.stage.oracle").contains("1")
     def write(name: String, df: DataFrame): Unit =
-      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+      if (enabled)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
     def glob(name: String): String = s"$dir/$name/*.parquet"
   }
 

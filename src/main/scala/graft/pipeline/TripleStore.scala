@@ -221,6 +221,35 @@ final class TripleStore(val root: String, spark: SparkSession) {
         allowMissingColumns = false))
   }
 
+  /** Compaction (Iceberg `rewrite_data_files` analogue): fold the given
+    * committed batches (default: all) into ONE batch, swapped in
+    * atomically via the superseding manifest. Incremental/streaming
+    * ingestion accumulates a manifest+dir per micro-batch; periodic
+    * compaction bounds both the manifest count and the file count
+    * (commit writes one file per (lang, bucket)).
+    */
+  def compact(batches: Seq[String] = Seq.empty): Unit = {
+    val target = if (batches.nonEmpty) batches else committedBatches()
+    if (target.size < 2) return
+    val data = spark.read
+      .option("basePath", s"$root/data")
+      .parquet(target.map(dataDir): _*)
+      .drop("batch", "bucket")
+    val cid = "zcompact-" + graft.util.Hashing.xxhash64(target.sorted.mkString(",")).toHexString
+    commit(cid, data, supersedes = target.sorted)
+    cleanup(target)
+  }
+
+  private def cleanup(batches: Seq[String]): Unit =
+    batches.foreach { b =>
+      try {
+        Files.deleteIfExists(manifestDir.resolve(s"$b.commit"))
+        val p = new org.apache.hadoop.fs.Path(dataDir(b))
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(p, true)
+      } catch { case _: java.io.IOException => () }
+    }
+
   private def rewriteExcluding(
       matching: DataFrame => DataFrame,
       keep: DataFrame => DataFrame): Unit = {
@@ -240,13 +269,6 @@ final class TripleStore(val root: String, spark: SparkSession) {
     val rid = "zrewrite-" + graft.util.Hashing.xxhash64(affected.mkString(",")).toHexString
     commit(rid, remaining, supersedes = affected)
     // best-effort cleanup of dead manifests + data (already superseded)
-    affected.foreach { b =>
-      try {
-        Files.deleteIfExists(manifestDir.resolve(s"$b.commit"))
-        val p = new org.apache.hadoop.fs.Path(dataDir(b))
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(p, true)
-      } catch { case _: java.io.IOException => () }
-    }
+    cleanup(affected.toIndexedSeq)
   }
 }

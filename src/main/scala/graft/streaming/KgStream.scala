@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ner.TokenTrie
+import graft.pipeline.{EntityStore, KgPipeline, TripleStore}
+import graft.topics.TopicModelParams
+
+/** Structured Streaming front-end of the incremental KG pipeline — the
+  * scale-native replacement for the reference's polling feed (DAG 03,
+  * `airflow_dags/03_..._dag.py:28-30` at 0.17 docs/s): a `readStream` of
+  * pages drives `foreachBatch` → [[KgPipeline.runIncremental]], so every
+  * micro-batch lands with the SAME atomic-commit + anti-join semantics
+  * as a batch run.
+  *
+  * Exactly-once story (end to end):
+  *   - the streaming checkpoint replays an unacknowledged micro-batch
+  *     after a crash with the SAME epoch id;
+  *   - `runIncremental` keys the triple-store commit AND the entity-store
+  *     merge on that id — a replayed batch no-ops whatever already
+  *     committed, and the `processedIn` anti-join drops pages that an
+  *     earlier batch already covered (duplicate input across micro-batches
+  *     is processed exactly once).
+  */
+object KgStream {
+
+  def start(
+      pages: DataFrame, // streaming source with the Page schema
+      store: TripleStore,
+      trie: Broadcast[TokenTrie],
+      params: Broadcast[TopicModelParams],
+      checkpointDir: String,
+      entityStore: Option[EntityStore] = None,
+      aliases: Option[DataFrame] = None,
+      cfg: KgPipeline.Config = KgPipeline.Config(),
+      trigger: Trigger = Trigger.AvailableNow(),
+      queryName: String = "kg-stream"): StreamingQuery = {
+    val handle: (Dataset[Row], Long) => Unit = { (batch, epochId) =>
+      KgPipeline.runIncremental(
+        store, f"stream-$epochId%08d", batch.toDF(), trie, params, cfg,
+        entityStore, aliases)
+      ()
+    }
+    pages.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(handle)
+      .start()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.PageGen
+import graft.ner.FixtureGazetteer
+import graft.pipeline.{EntityStore, KgPipeline, TripleStore}
+import graft.schema.{Page, Pred}
+import graft.streaming.KgStream
+
+/** Streaming front-end ≡ batch semantics: micro-batches through
+  * foreachBatch land with the same triples, markers and entity
+  * dictionary as a single-shot batch run; duplicate pages across
+  * micro-batches are processed exactly once.
+  */
+class KgStreamSpec extends SparkSpec {
+
+  test("streamed micro-batches equal a single-shot batch run; cross-batch duplicates processed once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val trie = spark.sparkContext.broadcast(FixtureGazetteer.trie)
+    val params = spark.sparkContext.broadcast(SparkEntry.fixtureModel)
+    val store = new TripleStore(Files.createTempDirectory("graft_ks_").toString, spark)
+    val es = new EntityStore(Files.createTempDirectory("graft_ke_").toString, spark)
+    val all = (0L until 90L).map { i =>
+      val g = PageGen.generate(i)
+      Page(g.url, g.warc_ts, g.html, g.text, g.lang)
+    }
+
+    val source = MemoryStream[Page]
+    val q = KgStream.start(source.toDF(), store, trie, params,
+      Files.createTempDirectory("graft_kckpt_").toString,
+      entityStore = Some(es),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      source.addData(all.take(40))
+      q.processAllAvailable()
+      // second micro-batch OVERLAPS the first (pages 20-40 re-sent)
+      source.addData(all.slice(20, 90))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = store.committed()
+      .filter(col("pred") =!= Pred.Processed)
+      .select("subj", "pred", "obj", "weight")
+      .collect().map(_.toString).sorted.toSeq
+    val single = KgPipeline.runManaged(
+      all.toDF(), trie, params, None) { t =>
+      t.select("subj", "pred", "obj", "weight")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(got === single)
+    // exactly one marker per page despite the overlapping micro-batch
+    val markers = store.committed().filter(col("pred") === Pred.Processed)
+    assert(markers.count() === 90L)
+    assert(markers.select("subj").distinct().count() === 90L)
+    // entity dictionary merged across micro-batches equals full recompute
+    val analyzedAll = KgPipeline.analyze(all.toDF(), trie, params)
+    val oracle = graft.link.EntityLink
+      .dictFromSurfaceRows(KgPipeline.surfaceRows(analyzedAll)).toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq
+    assert(es.dict().toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq === oracle)
+  }
+}

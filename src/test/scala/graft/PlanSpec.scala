@@ -109,4 +109,22 @@ class PlanSpec extends SparkSpec {
     val indexed = probe.as[(Long, Double)].collect().toSeq
     assert(indexed === oneShot)
   }
+
+  test("q27 slice: every window is partitioned (no single-task global sort)") {
+    val df = SparkEntry.queries("q27_microbatch_slice")(spark, sf)
+    df.collect()
+    var unpartitioned = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p.foreach {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          if (w.partitionSpec.isEmpty) unpartitioned += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ => ()
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(unpartitioned === 0,
+      "slice must not funnel the table through one unpartitioned window task")
+  }
 }

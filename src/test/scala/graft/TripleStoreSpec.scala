@@ -149,4 +149,28 @@ class TripleStoreSpec extends SparkSpec {
     // job before the write; nothing runs after the write.
     assert(jobs.get() <= 2L, s"commit launched ${jobs.get()} jobs, expected ≤2")
   }
+
+  test("compact folds many batches into one; data identical, resume markers preserved") {
+    import spark.implicits._
+    val store = new TripleStore(tmp(), spark)
+    (0 until 5).foreach { i =>
+      store.commit(f"b$i%02d", triples((s"u$i", "processedIn", f"b$i%02d", 1L),
+        (s"u$i", "hasTopic", s"t$i", 1L)))
+    }
+    val before = store.committed().select("subj", "pred", "obj", "weight")
+      .collect().map(_.toString).sorted.toSeq
+    store.compact()
+    assert(store.committedBatches().size === 1)
+    assert(store.committedBatches().head.startsWith("zcompact-"))
+    val after = store.committed().select("subj", "pred", "obj", "weight")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    // the incremental anti-join still sees every processed url
+    val todo = store.unprocessed(Seq("u0", "u4", "u9").toDF("url"), "processedIn")
+      .as[String].collect().sorted.toSeq
+    assert(todo === Seq("u9"))
+    // a compacted store keeps accepting commits
+    store.commit("b99", triples(("u9", "hasTopic", "t9", 1L)))
+    assert(store.committed().count() === 11L)
+  }
 }
