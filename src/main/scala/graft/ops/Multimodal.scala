@@ -7,11 +7,12 @@ import graft.util.Hashing
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns + typed metadata, processed in BATCHED `mapPartitions`.
   *
-  * The actual codec work is STUBBED (this container ships no image/audio
-  * libraries — see `DecodeStub`): the stub is deterministic so the Spark
-  * plumbing — schema, batching shape, partitioning, feature wiring — is
-  * fully real and testable, and a production decoder drops in behind the
-  * same `MediaDecoder` trait.
+  * Decoding is REAL (library-free) for PPM/BMP/PNG/WAV via
+  * [[MediaCodecs.FormatDecoder]] — metadata, pixel-exact resize, mean
+  * channels, PCM frame sampling. Formats needing external codecs (JPEG,
+  * H.264, …) fall back to the deterministic [[DecodeStub]] behavior
+  * behind the same `MediaDecoder` trait, which is where a production
+  * JNI/codec implementation drops in.
   */
 object Multimodal {
 
@@ -62,7 +63,7 @@ object Multimodal {
     */
   def extractFeatures(
       media: Dataset[MediaRow],
-      decoder: MediaDecoder = DecodeStub,
+      decoder: MediaDecoder = MediaCodecs.FormatDecoder,
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
