@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -30,33 +30,39 @@ import graft.schema.EntityRecord
   *     anti-join on `processedIn` markers guarantees each url contributes
   *     to exactly one merged batch.
   *
-  * Concurrency/crash model (single writer, like the TripleStore): each
-  * merge writes a full new version directory, then atomically renames the
-  * `_latest` pointer. Merged batch ids are recorded IN the version, so a
-  * retried merge of an already-merged batch is a no-op — `runIncremental`
-  * orders (merge dict) BEFORE (commit triples+markers), which makes the
-  * pair idempotent under kill-anywhere retry:
+  * Scale shape (MERGE cost ∝ batch, not ∝ dictionary): state is
+  * hash-bucketed on `entity_text_norm` ([[EntityStore.dictBuckets]] dirs,
+  * a Hive partition column, so reads prune). A merge
+  *   1. buckets the batch delta,
+  *   2. re-aggregates ONLY the dirty buckets (partition-pruned read of
+  *      current ∪ delta, one dict-key shuffle),
+  *   3. HARD-LINKS every clean bucket's files from the previous version
+  *      (metadata-only; copy fallback for cross-device),
+  *   4. atomically renames the `_latest` pointer.
+  * This is Iceberg MERGE-on-read-free copy-on-write bounded to dirty
+  * partitions — the same shape `TripleStore.deleteWhere` uses.
+  *
+  * Concurrency/crash model (single writer, like the TripleStore): merged
+  * batch ids are recorded IN the version, so a retried merge of an
+  * already-merged batch is a no-op — `runIncremental` orders (merge dict)
+  * BEFORE (commit triples+markers), which makes the pair idempotent under
+  * kill-anywhere retry:
   *   - crash before merge: nothing happened;
   *   - crash between merge and triple-commit: markers absent → retry
   *     recomputes the identical batch (same anti-join input) → merge sees
   *     the batch id → skips → commit proceeds;
   *   - crash mid-merge (version dir written, pointer not swapped): the
   *     retry overwrites the same version dir and swaps.
-  *
-  * Scale shape: a merge rewrites dictionary-sized state (≪ corpus — the
-  * reference's full dict is ~10⁵ rows for 10⁵ articles), unioned with the
-  * batch delta and re-aggregated in ONE shuffle on (norm, type[, surface]).
-  * At 10⁹+ entities this is Iceberg MERGE copy-on-write; partitioning the
-  * version by hash-bucket(norm) would bound each rewrite to dirty buckets.
   */
 final class EntityStore(val root: String, spark: SparkSession) {
 
   import spark.implicits._
+  import EntityStore.dictBuckets
 
   Files.createDirectories(Paths.get(root))
 
   private def latestPtr = Paths.get(root, "_latest")
-  private def versionDir(v: Long): String = s"$root/v=$v"
+  private def versionDir(v: Long): Path = Paths.get(root, s"v=$v")
 
   private def currentVersion(): Long =
     if (Files.exists(latestPtr)) Files.readString(latestPtr).trim.toLong else 0L
@@ -65,26 +71,36 @@ final class EntityStore(val root: String, spark: SparkSession) {
   def mergedBatches(): Set[String] = {
     val v = currentVersion()
     if (v == 0L) Set.empty
-    else Files.readAllLines(Paths.get(versionDir(v), "_batches"))
+    else Files.readAllLines(versionDir(v).resolve("_batches"))
       .asScala.filter(_.nonEmpty).toSet
   }
 
-  /** Current surface-granularity state. */
-  def surfaces(): DataFrame = {
-    val v = currentVersion()
-    if (v == 0L)
-      Seq.empty[(String, String, String, Long)]
-        .toDF("entity_text_norm", "entity_type", "entity_text", "surface_count")
-    else spark.read.parquet(s"${versionDir(v)}/surfaces")
+  private def table(v: Long, name: String, schemaDDL: String): DataFrame = {
+    val dir = versionDir(v).resolve(name)
+    if (v == 0L || !Files.exists(dir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+    else spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+      .parquet(dir.toString)
   }
 
-  private def news(): DataFrame = {
-    val v = currentVersion()
-    if (v == 0L)
-      Seq.empty[(String, String, Long)]
-        .toDF("entity_text_norm", "entity_type", "news_count")
-    else spark.read.parquet(s"${versionDir(v)}/news")
-  }
+  private val surfacesDDL =
+    "entity_text_norm STRING, entity_type STRING, entity_text STRING, surface_count BIGINT, bucket INT"
+  private val newsDDL =
+    "entity_text_norm STRING, entity_type STRING, news_count BIGINT, bucket INT"
+
+  /** Current surface-granularity state (bucket column dropped). */
+  def surfaces(): DataFrame =
+    table(currentVersion(), "surfaces", surfacesDDL).drop("bucket")
+
+  private def news(): DataFrame =
+    table(currentVersion(), "news", newsDDL).drop("bucket")
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket",
+      pmod(xxhash64($"entity_text_norm"), lit(dictBuckets)).cast("int"))
 
   /** MERGE one batch of per-page surface rows
     * (url, entity_text_norm, entity_type, entity_text, n) into the store.
@@ -93,29 +109,80 @@ final class EntityStore(val root: String, spark: SparkSession) {
   def merge(batchId: String, surfaceRows: DataFrame): Boolean = {
     val already = mergedBatches()
     if (already.contains(batchId)) return false
-    val batchSurf = surfaceRows
+    val v = currentVersion()
+    val batchSurf = withBucket(surfaceRows
       .groupBy($"entity_text_norm", $"entity_type", $"entity_text")
-      .agg(sum($"n").as("surface_count"))
-    val batchNews = surfaceRows
-      .select($"entity_text_norm", $"entity_type", $"url").distinct()
-      .groupBy($"entity_text_norm", $"entity_type")
-      .agg(count(lit(1)).as("news_count"))
-    val mergedSurf = surfaces().unionByName(batchSurf)
-      .groupBy($"entity_text_norm", $"entity_type", $"entity_text")
-      .agg(sum($"surface_count").as("surface_count"))
-    val mergedNews = news().unionByName(batchNews)
-      .groupBy($"entity_text_norm", $"entity_type")
-      .agg(sum($"news_count").as("news_count"))
-    val next = currentVersion() + 1L
-    mergedSurf.write.mode(SaveMode.Overwrite).parquet(s"${versionDir(next)}/surfaces")
-    mergedNews.write.mode(SaveMode.Overwrite).parquet(s"${versionDir(next)}/news")
-    Files.write(Paths.get(versionDir(next), "_batches"),
-      (already + batchId).toSeq.sorted.asJava)
-    val tmp = Paths.get(root, s"_latest.tmp$next")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    true
+      .agg(sum($"n").as("surface_count")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchNews = withBucket(surfaceRows
+        .select($"entity_text_norm", $"entity_type", $"url").distinct()
+        .groupBy($"entity_text_norm", $"entity_type")
+        .agg(count(lit(1)).as("news_count")))
+      // dirty buckets: only these are re-aggregated and rewritten; the
+      // dict-key shuffle is over (current-dirty ∪ delta), not the corpus
+      val dirty = batchSurf.select($"bucket").distinct()
+        .as[Int].collect().sorted
+      val next = v + 1L
+      val nextDir = versionDir(next)
+      if (Files.exists(nextDir)) deleteRecursively(nextDir) // crashed retry
+      val mergedSurf = table(v, "surfaces", surfacesDDL)
+        .filter($"bucket".isin(dirty.map(Int.box): _*)) // partition-pruned
+        .unionByName(batchSurf)
+        .groupBy($"entity_text_norm", $"entity_type", $"entity_text", $"bucket")
+        .agg(sum($"surface_count").as("surface_count"))
+      val mergedNews = table(v, "news", newsDDL)
+        .filter($"bucket".isin(dirty.map(Int.box): _*))
+        .unionByName(batchNews)
+        .groupBy($"entity_text_norm", $"entity_type", $"bucket")
+        .agg(sum($"news_count").as("news_count"))
+      writeBuckets(mergedSurf, nextDir.resolve("surfaces"))
+      writeBuckets(mergedNews, nextDir.resolve("news"))
+      // clean buckets ride forward as hard links — metadata-only
+      linkCleanBuckets(v, nextDir, "surfaces", dirty.toSet)
+      linkCleanBuckets(v, nextDir, "news", dirty.toSet)
+      Files.write(nextDir.resolve("_batches"),
+        (already + batchId).toSeq.sorted.asJava)
+      val tmp = Paths.get(root, s"_latest.tmp$next")
+      Files.writeString(tmp, next.toString)
+      Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      true
+    } finally batchSurf.unpersist(blocking = false)
+  }
+
+  private def writeBuckets(df: DataFrame, dir: Path): Unit =
+    df.repartition($"bucket") // one file per bucket dir
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(dir.toString)
+
+  private def linkCleanBuckets(
+      prevVersion: Long, nextDir: Path, name: String, dirty: Set[Int]): Unit = {
+    if (prevVersion == 0L) return
+    val prev = versionDir(prevVersion).resolve(name)
+    if (!Files.exists(prev)) return
+    Files.list(prev).toArray.toSeq.map(p => Paths.get(p.toString)).foreach { d =>
+      val dn = d.getFileName.toString
+      if (dn.startsWith("bucket=") &&
+          !dirty.contains(dn.stripPrefix("bucket=").toInt)) {
+        val target = nextDir.resolve(name).resolve(dn)
+        Files.createDirectories(target)
+        Files.list(d).toArray.toSeq.map(f => Paths.get(f.toString)).foreach { f =>
+          val t = target.resolve(f.getFileName)
+          try Files.createLink(t, f)
+          catch { case _: Exception =>
+            Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).toArray.toSeq.map(x => Paths.get(x.toString))
+        .foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   /** The queryable entity dictionary (≙ reference `entities` table,
@@ -124,4 +191,12 @@ final class EntityStore(val root: String, spark: SparkSession) {
     */
   def dict(): Dataset[EntityRecord] =
     EntityLink.dictFromStats(surfaces(), news())
+}
+
+object EntityStore {
+  /** Hash-bucket count for the dictionary partition dimension. 32 at
+    * test scale; a production store would use 256-4096 so a typical
+    * batch dirties a fraction of the dictionary.
+    */
+  val dictBuckets = 32
 }

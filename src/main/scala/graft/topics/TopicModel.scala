@@ -29,6 +29,22 @@ final case class TopicModelParams(
     m
   }
 
+  /** First words of vocabulary bigrams — the scoring hot loop only pays
+    * the bigram StringBuilder + map probe when the current token can
+    * actually START a vocab bigram (typically a small fraction).
+    */
+  @transient lazy val bigramFirstWords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    var i = 0
+    while (i < vocab.length) {
+      val t = vocab(i)
+      val sp = t.indexOf(' ')
+      if (sp > 0) s.add(t.substring(0, sp))
+      i += 1
+    }
+    s
+  }
+
   def nComponents: Int = if (components.isEmpty) 0 else components(0).length
   def k: Int = centroids.length
 }
@@ -59,21 +75,21 @@ object TopicScorer {
     val toks = tokenize(text)
     val counts = new java.util.HashMap[Integer, Integer]()
     val idx = params.vocabIndex
+    require(params.ngramMax <= 2, "ngramMax > 2 unsupported (reference uses (1,2))")
+    val useBigrams = params.ngramMax >= 2
+    val bgFirst = params.bigramFirstWords
     var i = 0
     while (i < toks.length) {
-      var n = 1
-      while (n <= params.ngramMax) {
-        if (i + n <= toks.length) {
-          val term = if (n == 1) toks(i) else {
-            val sb = new java.lang.StringBuilder(toks(i))
-            var j = i + 1
-            while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
-            sb.toString
-          }
-          val ti: Integer = idx.get(term)
-          if (ti != null) counts.merge(ti, 1, (a, b) => a + b)
-        }
-        n += 1
+      val t1: Integer = idx.get(toks(i))
+      if (t1 != null) counts.merge(t1, 1, (a, b) => a + b)
+      // build the bigram string only when toks(i) can start a vocab
+      // bigram — skips the allocation + probe on most positions
+      if (useBigrams && i + 1 < toks.length && bgFirst.contains(toks(i))) {
+        val sb = new java.lang.StringBuilder(
+          toks(i).length + 1 + toks(i + 1).length)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+        val t2: Integer = idx.get(sb.toString)
+        if (t2 != null) counts.merge(t2, 1, (a, b) => a + b)
       }
       i += 1
     }

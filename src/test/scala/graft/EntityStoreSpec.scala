@@ -146,4 +146,50 @@ class EntityStoreSpec extends SparkSpec {
     assert(store.committed().filter(col("pred") === Pred.hasTopicFor("run2"))
       .count() === 30L)
   }
+
+  test("merge rewrites only dirty buckets; clean buckets ride forward as links") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_esb_").toString
+    val es = new EntityStore(root, spark)
+    // batch 1 populates many buckets
+    val b1 = (0 until 200).map(i => (s"u$i", s"ent$i", "ORG", s"Ent$i", 1L))
+      .toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
+    assert(es.merge("b1", b1))
+    // batch 2 touches exactly ONE norm → one dirty bucket
+    val b2 = Seq(("u900", "ent0", "ORG", "Ent0", 5L))
+      .toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
+    assert(es.merge("b2", b2))
+    val v1 = java.nio.file.Paths.get(root, "v=1", "surfaces")
+    val v2 = java.nio.file.Paths.get(root, "v=2", "surfaces")
+    val dirtyBucket = math.floorMod(
+      graft.util.Hashing.xxhash64("ent0"), EntityStore.dictBuckets.toLong).toInt
+    // every clean bucket file in v2 is the SAME inode as v1's (hard link)
+    var linked = 0
+    java.nio.file.Files.list(v2).toArray.toSeq
+      .map(x => java.nio.file.Paths.get(x.toString))
+      .filter(_.getFileName.toString.startsWith("bucket=")).foreach { d =>
+        val k = d.getFileName.toString.stripPrefix("bucket=").toInt
+        if (k != dirtyBucket) {
+          java.nio.file.Files.list(d).toArray.toSeq
+            .map(x => java.nio.file.Paths.get(x.toString))
+            .filter(_.toString.endsWith(".parquet")).foreach { f =>
+              val twin = v1.resolve(d.getFileName.toString).resolve(f.getFileName)
+              assert(java.nio.file.Files.exists(twin), s"$twin")
+              val k1 = java.nio.file.Files.readAttributes(
+                f, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+              val k2 = java.nio.file.Files.readAttributes(
+                twin, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+              assert(k1 === k2, s"clean bucket $k was rewritten, not linked")
+              linked += 1
+            }
+        }
+      }
+    assert(linked > 0, "expected clean buckets to exist")
+    // values still equal the full recompute
+    val oracle = graft.link.EntityLink
+      .dictFromSurfaceRows(b1.unionByName(b2)).toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq
+    assert(es.dict().toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq === oracle)
+  }
 }
