@@ -325,6 +325,23 @@ object SparkEntry {
       Stage.write("q22_planes", planesDf(s, p.tables * p.bits, q.length, p.seed))
       LshIndex.topK(s, idx, q, k = 10, p = p, excludeId = Some(0L))
     }),
+    "q42_ann_ivf" -> ((s, d) => {
+      // IVF coarse-quantizer ANN (the k-means sibling of q22's LSH):
+      // staged centroids let the oracle restate cell assignment, cell
+      // probing AND the final ranking exactly
+      import s.implicits._
+      val emb = tbl(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val cents = graft.ops.IvfIndex.train(emb)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+      graft.ops.IvfIndex.build(emb, idx, cents)
+      Stage.write("q42_centroids",
+        cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "v"))
+      graft.ops.IvfIndex.topK(s, idx, q, cents, k = 10, nprobe = 4,
+        excludeId = Some(0L))
+    }),
     "q23_embedding_neardup" -> ((s, d) => {
       // stage the hyperplanes so the oracle restates the EXACT LSH
       // candidacy (sign tests) — not a recall-dependent approximation
@@ -969,6 +986,33 @@ object SparkEntry {
            UNION ALL SELECT * FROM mention_rows
            UNION ALL SELECT * FROM sameas_rows)
          ORDER BY subj, pred, obj""",
+    // IVF restated exactly: per-vector cell = argmin element-wise
+    // squared distance to the staged centroids (identical summation
+    // order), probe cells = the nprobe nearest to the query, candidates
+    // ranked by rounded cosine
+    "q42_ann_ivf" ->
+      s"""WITH cents AS (SELECT cell, v FROM read_parquet('${Stage.glob("q42_centroids")}')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         q AS (SELECT ev AS qe FROM e WHERE vec_id = 0),
+         d2 AS (SELECT e.vec_id, c.cell,
+                  list_sum([(e.ev[i] - c.v[i]) * (e.ev[i] - c.v[i])
+                            for i in range(1, len(e.ev) + 1)]) AS d
+                FROM e CROSS JOIN cents c),
+         assigned AS (SELECT vec_id, cell FROM (
+                        SELECT vec_id, cell,
+                               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+                        FROM d2) WHERE rn = 1),
+         qcells AS (SELECT c.cell FROM cents c, q
+                    ORDER BY list_sum([(q.qe[i] - c.v[i]) * (q.qe[i] - c.v[i])
+                                       for i in range(1, len(q.qe) + 1)]), c.cell
+                    LIMIT 4),
+         cand AS (SELECT a.vec_id FROM assigned a JOIN qcells USING (cell)
+                  WHERE a.vec_id <> 0)
+         SELECT c.vec_id,
+                round(list_inner_product(e.ev, q.qe) /
+                      (sqrt(list_inner_product(e.ev, e.ev)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cosine
+         FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+         ORDER BY cosine DESC, c.vec_id LIMIT 10""",
     // order-sensitive Horner fold over staged token hashes (xxhash64 is
     // not in DuckDB; the per-token dictionary IS the staged side-table)
     "q19_fingerprint" ->

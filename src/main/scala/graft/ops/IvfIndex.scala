@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.topics.FixtureTrainer
+
+/** IVF (inverted-file) ANN index — the coarse-quantizer alternative to
+  * [[LshIndex]]: vectors are assigned to their nearest of `cells`
+  * k-means centroids and stored partitioned by cell; a probe reads only
+  * the `nprobe` cells nearest the query (partition pruning) and
+  * exact-ranks those candidates.
+  *
+  * Train/build/probe are decoupled exactly like a production IVF:
+  *   - [[train]] fits the coarse quantizer on a driver-collected SAMPLE
+  *     (quantizer quality needs a sample, not the corpus — at 100 TB you
+  *     sample ~10⁵-10⁶ vectors);
+  *   - [[build]] is one narrow pass + a cell-distributed write;
+  *   - [[topK]] reads ≤ nprobe cell directories.
+  */
+object IvfIndex {
+
+  final case class Params(cells: Int = 16, seed: Long = 31415L)
+
+  /** Fit the coarse quantizer on a sample (deterministic k-means++). */
+  def train(embeddings: DataFrame, p: Params = Params(),
+      sampleSize: Int = 4096,
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = embeddings
+      .select(col(vecCol).cast("array<double>"))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    FixtureTrainer.kmeans(sample, math.min(p.cells, sample.length), p.seed)
+  }
+
+  def nearestCell(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - cen(j); d += t * t; j += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign every vector to its nearest centroid and write the index
+    * partitioned by cell (one file per cell dir).
+    */
+  def build(embeddings: DataFrame, dir: String,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, v) => (nearestCell(cents, v), id, v) }
+      }
+      .toDF("cell", "id", "v")
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(dir)
+  }
+
+  /** Probe the `nprobe` cells nearest the query; exact-rank candidates
+    * by cosine. Partition pruning keeps the scan to those directories.
+    */
+  def topK(spark: SparkSession, dir: String, query: Array[Double],
+      centroids: Array[Array[Double]],
+      k: Int = 10, nprobe: Int = 4,
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id"): DataFrame = {
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < query.length) { val t = query(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }
+      .sortBy { case (d, i) => (d, i) }
+      .take(nprobe).map(_._2)
+    val base = spark.read.parquet(dir)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    val cands = excludeId.map(id => base.filter(col("id") =!= id)).getOrElse(base)
+    cands
+      .withColumn("cosine", round(Similarity.cosineToQuery(col("v"), query), 4))
+      .select(col("id").as(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

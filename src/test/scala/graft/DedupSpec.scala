@@ -154,4 +154,34 @@ class DedupSpec extends SparkSpec {
     val want = Similarity.cosine(Array(0.5, 1.0, 0.0), q)
     assert(math.abs(got(1L) - math.rint(want * 10000) / 10000) <= 1e-4)
   }
+
+  test("IVF ANN: recall vs brute force, and exact within the probed cells") {
+    import spark.implicits._
+    val dim = 16
+    val rng = new java.util.Random(7)
+    val q = Array.fill(dim)(rng.nextGaussian())
+    val rows = (0 until 30).map { i =>
+      (i.toLong, q.map(v => (v + 0.1 * rng.nextGaussian()).toFloat))
+    } ++ (30 until 230).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = graft.ops.IvfIndex.train(df, graft.ops.IvfIndex.Params(cells = 8))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    graft.ops.IvfIndex.build(df, dir, cents)
+    val brute = graft.ops.Similarity.bruteForceTopK(df, q, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = graft.ops.IvfIndex.topK(spark, dir, q, cents, k = 10, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // with nprobe = cells the probe IS exhaustive -> equals brute force
+    val full = graft.ops.IvfIndex.topK(spark, dir, q, cents, k = 10,
+      nprobe = cents.length).select("vec_id").as[Long].collect().toSet
+    assert(full === brute)
+    // probe plan prunes cell partitions
+    val probe = graft.ops.IvfIndex.topK(spark, dir, q, cents, k = 10, nprobe = 2)
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters:"))
+  }
 }
