@@ -305,7 +305,10 @@ object KgPipeline {
     *
     * NOTE the result is lazy and (with cfg.cacheAnalysis) holds a cached
     * Dataset for the JVM's lifetime; prefer [[runManaged]] when the
-    * caller materializes once — it unpersists in a finally.
+    * caller materializes once — it unpersists in a finally AND
+    * eager-materializes the caches in dependency order (a lazy plan over
+    * an unfilled cache lets concurrent broadcast-exchange jobs recompute
+    * the narrow pass for not-yet-cached partitions).
     */
   def run(
       pages: DataFrame,
