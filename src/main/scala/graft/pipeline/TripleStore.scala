@@ -161,10 +161,18 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * the last three are partition columns usable for pruning: a reader
     * filtering on lang or url-bucket scans only matching directories).
     */
+  /** The store schema is an invariant of [[commit]] (which normalizes
+    * every batch to exactly these columns), so reads declare it instead
+    * of re-inferring from footers — O(1) instead of O(files) per read.
+    */
+  private val storedSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "subj STRING, pred STRING, obj STRING, weight BIGINT, " +
+      "lang STRING, bucket INT, batch STRING") // last three: partition cols
+
   def committed(): DataFrame = {
     // skip rows:0 batches — their data dirs hold no parquet files (an
-    // empty partitionBy write emits none), so including them would break
-    // schema inference; their manifests still count for lineage/liveness
+    // empty partitionBy write emits none); their manifests still count
+    // for lineage/liveness
     val batches = committedBatches().filter { b =>
       val m = Files.readString(manifestDir.resolve(s"$b.commit"))
       RowsRe.findFirstMatchIn(m).forall(_.group(1).toLong > 0L)
@@ -173,6 +181,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
     else {
       spark.read
         .option("basePath", s"$root/data")
+        .schema(storedSchema)
         .parquet(batches.map(dataDir): _*)
     }
   }
