@@ -192,4 +192,23 @@ class EntityStoreSpec extends SparkSpec {
     assert(es.dict().toDF()
       .orderBy("entity_text_norm", "entity_type").collect().toSeq === oracle)
   }
+
+  test("merge is associative: any url-disjoint split of the corpus gives the same dictionary") {
+    import spark.implicits._
+    val all = (0 until 120).map { i =>
+      (s"u$i", s"ent${i % 17}", if (i % 3 == 0) "ORG" else "PERSON",
+        s"Ent${i % 17}${if (i % 5 == 0) "X" else ""}", (i % 4 + 1).toLong)
+    }.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
+    val oracle = graft.link.EntityLink.dictFromSurfaceRows(all).toDF()
+      .orderBy("entity_text_norm", "entity_type", "entity_text").collect().toSeq
+    for (ways <- Seq(2, 3, 5)) {
+      val es = new EntityStore(tmp(s"graft_esa${ways}_"), spark)
+      (0 until ways).foreach { w =>
+        es.merge(s"b$w", all.filter(pmod(xxhash64(col("url")), lit(ways)) === w))
+      }
+      val got = es.dict().toDF()
+        .orderBy("entity_text_norm", "entity_type", "entity_text").collect().toSeq
+      assert(got === oracle, s"$ways-way split")
+    }
+  }
 }

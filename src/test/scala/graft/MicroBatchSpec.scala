@@ -80,4 +80,17 @@ class MicroBatchSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(got === (30L until 40L).toSeq)
   }
+
+  test("slice is invariant to input partitioning (range-shuffle determinism)") {
+    import spark.implicits._
+    val base = (0L until 5000L).map(i => graft.util.Hashing.splitmix64(i)).toDF("k")
+    for (parts <- Seq(1, 3, 32)) {
+      val df = base.repartition(parts)
+      val got = MicroBatch.slice(df, "k", fraction = 0.013, runIdx = 4, loop = true)
+        .as[Long].collect().sorted.toSeq
+      val expect = (0L until 5000L).map(graft.util.Hashing.splitmix64).sorted
+        .slice(65 * 4, 65 * 5).toSeq // batch = ceil(5000*0.013) = 65
+      assert(got === expect, s"parts=$parts")
+    }
+  }
 }
