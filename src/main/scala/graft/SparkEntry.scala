@@ -296,6 +296,21 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")).orderBy(col("doc_id"))
     }),
+    "q43_url_normalize" -> ((s, d) => {
+      // canonical-URL dedup key: construct a deliberately messy URL per
+      // doc (both sides build it identically), normalize, and group —
+      // the crawl-side pre-pass before content dedup
+      val messy = concat(
+        lit("HTTPS://Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".Example.COM:443/news/"), col("doc_id").cast("string"),
+        lit("//?z=26&a=1&m=13#frag"))
+      docs(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeUrl(messy).as("url_norm"))
+        .groupBy(col("url_norm"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical_doc"))
+        .orderBy(col("url_norm"))
+    }),
     "q20_media_features" -> ((s, d) => {
       Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d))).toDF()
         .select(col("id"), col("n_bytes"), col("channels").cast("long").as("channels"),
@@ -714,6 +729,29 @@ object SparkEntry {
                 round(CAST(a.sw AS DOUBLE) / a.n_tokens, 4) AS stopword_ratio,
                 round(CAST(a.sumlen AS DOUBLE) / a.n_tokens, 4) AS mean_token_len
          FROM documents d JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    "q43_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+                'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) ||
+                '.Example.COM:443/news/' || CAST(doc_id AS VARCHAR) ||
+                '//?z=26&a=1&m=13#frag' AS url FROM documents),
+         parts AS (SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+                regexp_replace(regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS query
+              FROM u),
+         norm AS (SELECT doc_id,
+                scheme || '://' ||
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END ||
+                path ||
+                CASE WHEN length(query) > 0
+                     THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+                     ELSE '' END AS url_norm
+              FROM parts)
+         SELECT url_norm, count(*) AS n, min(doc_id) AS canonical_doc
+         FROM norm GROUP BY 1 ORDER BY 1""",
     "q20_media_features" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS frames

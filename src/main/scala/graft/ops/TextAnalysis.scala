@@ -60,6 +60,29 @@ object TextAnalysis {
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 4))
   }
 
+  /** Canonical URL normalization — the key for URL-level dedup of a
+    * crawl (every Common-Crawl-style pipeline dedups on canonical URL
+    * before content dedup). Pure Catalyst (codegen'd, SQL-restatable):
+    *   - scheme and host lowercased
+    *   - default ports stripped (http:80, https:443)
+    *   - fragment removed
+    *   - query parameters sorted lexicographically (empty query dropped)
+    *   - trailing slashes stripped from the path
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[^:]+://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = regexp_replace(
+      regexp_extract(url, "^[^:]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQuery = array_join(sort_array(split(query, "&")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), sortedQuery)).otherwise(lit("")))
+  }
+
   /** Document fingerprint: order-sensitive rolling (Horner) hash of token
     * hashes modulo a 31-bit prime — modular reduction at every step keeps
     * the accumulator ANSI-overflow-safe (Spark 4 defaults to

@@ -118,4 +118,19 @@ class TextFunctionsSpec extends SparkSpec {
       .select(length(Text.truncateForPrompt(col("t")))).as[Int].head()
     assert(got === 7500)
   }
+
+  test("normalizeUrl: canonical form (case, ports, fragment, query order, slashes)") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTPS://A.Example.COM:443/x//?b=2&a=1#f", "https://a.example.com/x?a=1&b=2"),
+      ("http://b.example.com:80/",                "http://b.example.com"),
+      ("http://b.example.com:8080/p",             "http://b.example.com:8080/p"),
+      ("https://c.example.com/path/",             "https://c.example.com/path"),
+      ("https://d.example.com/p?one=1",           "https://d.example.com/p?one=1"),
+      ("ftp://E.Example.com:443/z",               "ftp://e.example.com:443/z"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.ops.TextAnalysis.normalizeUrl(org.apache.spark.sql.functions.col("url")))
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
 }
