@@ -34,8 +34,8 @@ object PredCounter extends Aggregator[String, Map[String, Long], String] {
 /** Snapshot-committed triple store over parquet.
   *
   * Production target is an Iceberg table (atomic snapshot commits,
-  * partition spec `(lang, bucket(N, url_hash))` — SURVEY.md §1.4); the
-  * Iceberg runtime is not on this sandbox's classpath, so the same
+  * partition spec `(pred, lang, bucket(N, url_hash))` — SURVEY.md §1.4);
+  * the Iceberg runtime is not on this sandbox's classpath, so the same
   * SEMANTICS are provided with parquet + a manifest directory:
   *
   *   - each batch writes to `data/batch=<id>/` then appends one line to
@@ -69,19 +69,46 @@ final class TripleStore(val root: String, spark: SparkSession) {
   private val SupersedesRe = """"supersedes":\[([^\]]*)\]""".r
   private val RowsRe = """"rows":(\d+)""".r
 
-  /** Live committed batch ids: manifested minus superseded-by-anyone.
-    * (A superseded manifest's own `supersedes` list still counts — a
-    * chain of rewrites keeps every replaced ancestor dead.)
+  private def parseSupersedes(manifest: String): Seq[String] =
+    SupersedesRe.findFirstMatchIn(manifest).toSeq.flatMap(m =>
+      m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty))
+
+  /** Batch ids superseded by ANY manifest (live or itself superseded — a
+    * chain of rewrites keeps every replaced ancestor dead). Because
+    * [[commit]] records supersedes TRANSITIVELY, deadness never depends on
+    * a dead intermediate manifest surviving cleanup.
     */
+  private def deadBatches(): Set[String] =
+    manifestFiles().flatMap(f => parseSupersedes(Files.readString(f))).toSet
+
+  /** Live committed batch ids: manifested minus superseded-by-anyone. */
   def committedBatches(): Seq[String] = {
-    val files = manifestFiles()
-    val all = files.map(_.getFileName.toString.stripSuffix(".commit"))
-    val dead = files.flatMap { f =>
-      SupersedesRe.findFirstMatchIn(Files.readString(f)).toSeq.flatMap(m =>
-        m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty))
-    }.toSet
-    all.filterNot(dead).sorted
+    val dead = deadBatches()
+    manifestFiles().map(_.getFileName.toString.stripSuffix(".commit"))
+      .filterNot(dead).sorted
+  }
+
+  /** Close `direct` under the supersedes relation by walking the (still
+    * present) superseded manifests. Recording the CLOSURE in the new
+    * manifest makes liveness independent of dead manifests: compact →
+    * crash before cleanup → compact again must not resurrect batches whose
+    * only death certificate was the first compact's (now superseded and
+    * cleaned) manifest.
+    */
+  private def transitiveSupersedes(direct: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    var frontier = direct.toList
+    while (frontier.nonEmpty) {
+      val b = frontier.head
+      frontier = frontier.tail
+      if (seen.add(b)) {
+        val mf = manifestDir.resolve(s"$b.commit")
+        if (Files.exists(mf))
+          frontier = parseSupersedes(Files.readString(mf)) ++: frontier
+      }
+    }
+    seen.toSeq.sorted
   }
 
   /** Hash-bucket count for the url-hash partition dimension (north_star:
@@ -97,6 +124,17 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * re-read). Empty batches commit a rows:0 manifest. Returns total rows.
     */
   def commit(batch: String, triples: DataFrame, supersedes: Seq[String] = Nil): Long = {
+    // a superseding manifest kills a batch id FOREVER (and the data write
+    // below uses REPLACE semantics): recommitting a dead id — e.g. a
+    // stream restarted with a fresh checkpoint reusing stream-00000001
+    // after a compaction — would succeed silently but stay invisible to
+    // committed(). Fail loudly instead.
+    require(!deadBatches().contains(batch),
+      s"batch id '$batch' was superseded by an earlier rewrite/compaction " +
+        "and can never become visible again; pick a fresh id")
+    // record the supersedes CLOSURE so deadness survives cleanup of
+    // intermediate manifests (crash between commit and cleanup)
+    val allSupersedes = if (supersedes.isEmpty) Nil else transitiveSupersedes(supersedes)
     val dir = dataDir(batch)
     val withPartCols = triples
       .withColumn("lang",
@@ -108,12 +146,17 @@ final class TripleStore(val root: String, spark: SparkSession) {
     withPartCols
       // hash-distribute on the partition columns before the partitionBy
       // write (Iceberg write.distribution-mode=hash): each (lang, bucket)
-      // dir gets ONE file per commit instead of one sliver per input
-      // task — bounded file counts at any batch size
+      // dir gets ONE file per (pred, lang, bucket) per commit instead of
+      // one sliver per input task — bounded file counts at any batch size
+      // (pred cardinality is a handful of predicates × runs)
       .repartition(col("lang"), col("bucket"))
       .observe(obs, count(lit(1)).as("rows"), predCount(col("pred")).as("preds"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("lang", "bucket")
+      // pred LEADS the partition spec: the incremental anti-join reads
+      // ONLY `pred=processedIn*` directories instead of the full store
+      // (the one genuine scale-killer at 10^12 committed triples —
+      // VERDICT r02 #1); run-scoped overwrite deletes prune the same way
+      .partitionBy("pred", "lang", "bucket")
       .parquet(dir)
     val n = obs.get("rows").asInstanceOf[Long]
     val predsJson = obs.get("preds").asInstanceOf[String]
@@ -121,8 +164,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
       .map { case (f, r) => s"""{"file":"${f.replace("\"", "")}","rows":$r}""" }
       .sorted
     val supersedesJson =
-      if (supersedes.isEmpty) ""
-      else supersedes.sorted.map(s => s""""$s"""").mkString(""","supersedes":[""", ",", "]")
+      if (allSupersedes.isEmpty) ""
+      else allSupersedes.map(s => s""""$s"""").mkString(""","supersedes":[""", ",", "]")
     val tmp = manifestDir.resolve(s"$batch.tmp")
     val fin = manifestDir.resolve(s"$batch.commit")
     Files.writeString(tmp,
@@ -158,16 +201,17 @@ final class TripleStore(val root: String, spark: SparkSession) {
   }
 
   /** All committed triples (subj, pred, obj, weight, lang, bucket, batch —
-    * the last three are partition columns usable for pruning: a reader
-    * filtering on lang or url-bucket scans only matching directories).
-    */
-  /** The store schema is an invariant of [[commit]] (which normalizes
+    * pred and the last three are PARTITION columns usable for pruning: a
+    * reader filtering on pred, lang or url-bucket scans only matching
+    * directories).
+    *
+    * The store schema is an invariant of [[commit]] (which normalizes
     * every batch to exactly these columns), so reads declare it instead
     * of re-inferring from footers — O(1) instead of O(files) per read.
     */
   private val storedSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "subj STRING, pred STRING, obj STRING, weight BIGINT, " +
-      "lang STRING, bucket INT, batch STRING") // last three: partition cols
+      "lang STRING, bucket INT, batch STRING") // pred + last three: partition cols
 
   def committed(): DataFrame = {
     // skip rows:0 batches — their data dirs hold no parquet files (an
@@ -183,6 +227,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
         .option("basePath", s"$root/data")
         .schema(storedSchema)
         .parquet(batches.map(dataDir): _*)
+        .select("subj", "pred", "obj", "weight", "lang", "bucket", "batch")
     }
   }
 
@@ -200,6 +245,9 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * `topics_detector/db_io.py:389-413`, PK `(id_news, id_run)`).
     */
   def unprocessed(pages: DataFrame, pred: String, urlCol: String = "url"): DataFrame = {
+    // pred is a leading partition column: this filter PRUNES to the
+    // marker directories — the anti-join never scans data triples, so a
+    // micro-batch's frontier read stays O(markers), not O(store)
     val done = committed().filter(col("pred") === pred)
       .select(col("subj").as(urlCol)).distinct()
     pages.join(done, Seq(urlCol), "left_anti")
@@ -213,8 +261,13 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * Superseded manifests/data are then best-effort cleaned (a crash
     * mid-cleanup changes nothing — they are already dead).
     */
-  def deleteWhere(condition: Column): Unit =
-    rewriteExcluding(df => df.filter(condition), df => df.filter(!condition))
+  def deleteWhere(condition: Column): Unit = {
+    // NULL-evaluating rows must be RETAINED, not silently dropped: with a
+    // raw `!condition`, both branches exclude them, so a null-obj row
+    // sharing a batch with a real match would vanish from the rewrite
+    val cond = coalesce(condition, lit(false))
+    rewriteExcluding(df => df.filter(cond), df => df.filter(!cond))
+  }
 
   /** Scoped delete (reference `topics_detector/db_io.py:334-345`): drop
     * rows matching `condition` whose subj is in `subjKeys` (a DataFrame
@@ -223,10 +276,11 @@ final class TripleStore(val root: String, spark: SparkSession) {
     */
   def deleteScoped(condition: Column, subjKeys: DataFrame): Unit = {
     val keys = subjKeys.select(col("subj")).distinct()
+    val cond = coalesce(condition, lit(false)) // NULL evaluates to "retain"
     rewriteExcluding(
-      df => df.filter(condition).join(keys, Seq("subj"), "left_semi"),
-      df => df.filter(!condition).unionByName(
-        df.filter(condition).join(keys, Seq("subj"), "left_anti"),
+      df => df.filter(cond).join(keys, Seq("subj"), "left_semi"),
+      df => df.filter(!cond).unionByName(
+        df.filter(cond).join(keys, Seq("subj"), "left_anti"),
         allowMissingColumns = false))
   }
 
@@ -237,16 +291,41 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * compaction bounds both the manifest count and the file count
     * (commit writes one file per (lang, bucket)).
     */
-  def compact(batches: Seq[String] = Seq.empty): Unit = {
+  def compact(batches: Seq[String] = Seq.empty): Unit =
+    compactImpl(batches, runCleanup = true)
+
+  /** Crash-simulation seam (tests only): compact without the best-effort
+    * cleanup, leaving superseded manifests+data in place — the state a
+    * crash between the commit rename and cleanup produces.
+    */
+  private[graft] def compactImpl(batches: Seq[String], runCleanup: Boolean): Unit = {
     val target = if (batches.nonEmpty) batches else committedBatches()
     if (target.size < 2) return
-    val data = spark.read
-      .option("basePath", s"$root/data")
-      .parquet(target.map(dataDir): _*)
-      .drop("batch", "bucket")
+    // rows:0 batches have NO data files (an empty partitionBy write emits
+    // none) — fold their manifests away without trying to read them
+    val nonEmpty = target.filter { b =>
+      val m = manifestDir.resolve(s"$b.commit")
+      Files.exists(m) &&
+        RowsRe.findFirstMatchIn(Files.readString(m)).forall(_.group(1).toLong > 0L)
+    }
+    val data =
+      if (nonEmpty.isEmpty) emptyTriples()
+      else spark.read
+        .option("basePath", s"$root/data")
+        .parquet(nonEmpty.map(dataDir): _*)
+        .drop("batch", "bucket")
     val cid = "zcompact-" + graft.util.Hashing.xxhash64(target.sorted.mkString(",")).toHexString
     commit(cid, data, supersedes = target.sorted)
-    cleanup(target)
+    if (runCleanup) {
+      cleanup(target)
+      // opportunistic sweep of manifests that are dead but lingered from
+      // an earlier crash window (superseding commit landed, cleanup
+      // didn't) — safe because deadness is recorded transitively
+      val dead = deadBatches()
+      val lingering = manifestFiles()
+        .map(_.getFileName.toString.stripSuffix(".commit")).filter(dead)
+      if (lingering.nonEmpty) cleanup(lingering)
+    }
   }
 
   private def cleanup(batches: Seq[String]): Unit =

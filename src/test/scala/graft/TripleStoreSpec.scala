@@ -55,7 +55,7 @@ class TripleStoreSpec extends SparkSpec {
     assert(todo === Seq("u2", "u3"))
   }
 
-  test("commits are hive-partitioned by (lang, bucket) and scans prune on lang") {
+  test("commits are hive-partitioned by (pred, lang, bucket); scans prune on pred and lang") {
     import spark.implicits._
     val root = tmp()
     val store = new TripleStore(root, spark)
@@ -65,14 +65,107 @@ class TripleStoreSpec extends SparkSpec {
       ("u3", "hasTopic", "t1", 1L, "en"))
       .toDF("subj", "pred", "obj", "weight", "lang")
     store.commit("b1", t)
-    // physical layout: batch=b1/lang=<l>/bucket=<n>/
-    val langDirs = new java.io.File(s"$root/data/batch=b1").listFiles()
+    // physical layout: batch=b1/pred=<p>/lang=<l>/bucket=<n>/ — pred
+    // leads so the incremental anti-join prunes to marker dirs only
+    val predDirs = new java.io.File(s"$root/data/batch=b1").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
+    assert(predDirs.toSeq === Seq("pred=hasTopic", "pred=mentions"))
+    val langDirs = new java.io.File(s"$root/data/batch=b1/pred=mentions")
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(langDirs.toSeq === Seq("lang=en", "lang=es"))
     val pruned = store.committed().filter(col("lang") === "en")
     assert(pruned.count() === 2L)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(plan.contains("PartitionFilters:") && plan.contains("lang"), plan)
+  }
+
+  test("unprocessed prunes to marker partitions — never scans data triples") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    store.commit("b1", triples(
+      ("u1", "mentions", "e1", 1L), ("u1", "hasTopic", "t1", 1L),
+      ("u1", "processedIn", "b1", 1L)))
+    val pages = Seq("u1", "u2").toDF("url")
+    val todo = store.unprocessed(pages, "processedIn")
+    assert(todo.as[String].collect().toSeq === Seq("u2"))
+    val plan = todo.queryExecution.executedPlan.toString
+    // the store-side scan must carry a pred partition filter...
+    assert(plan.contains("PartitionFilters:") && plan.contains("pred"),
+      s"anti-join store scan must prune on pred:\n$plan")
+    // ...and the files it reads must ALL be marker files (pred=processedIn
+    // directories) — the data-triple partitions never enter the scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scannedMarkerOnly = scans(todo.queryExecution.executedPlan)
+      .flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+    assert(scannedMarkerOnly.nonEmpty)
+    assert(scannedMarkerOnly.forall(_.contains("pred=processedIn")),
+      s"scan touched non-marker files: ${scannedMarkerOnly.mkString(", ")}")
+  }
+
+  test("deleteWhere retains NULL-evaluating rows (NULL is not a match)") {
+    import spark.implicits._
+    val store = new TripleStore(tmp(), spark)
+    val t = Seq(
+      ("u1", "mentions", "x", 1L),
+      ("u2", "mentions", null, 1L), // obj IS NULL → condition evaluates NULL
+      ("u3", "mentions", "y", 1L))
+      .toDF("subj", "pred", "obj", "weight")
+    store.commit("b1", t)
+    store.deleteWhere(col("obj") === "x")
+    val left = store.committed().select("subj").as[String].collect().sorted.toSeq
+    assert(left === Seq("u2", "u3"), "null-obj row must survive the rewrite")
+    // scoped variant: same contract
+    store.deleteScoped(col("obj") === "y", Seq("u2", "u3").toDF("subj"))
+    val left2 = store.committed().select("subj").as[String].collect().sorted.toSeq
+    assert(left2 === Seq("u2"))
+  }
+
+  test("recommitting a superseded batch id is rejected loudly") {
+    val store = new TripleStore(tmp(), spark)
+    store.commit("b1", triples(("u1", "hasTopic", "t1", 1L)))
+    store.commit("b2", triples(("u2", "hasTopic", "t2", 1L)))
+    store.compact()
+    // b1 is dead forever — a silent recommit would be permanently invisible
+    val e = intercept[IllegalArgumentException] {
+      store.commit("b1", triples(("u9", "mentions", "e9", 1L)))
+    }
+    assert(e.getMessage.contains("superseded"))
+    // fresh ids keep working
+    store.commit("b3", triples(("u3", "mentions", "e3", 1L)))
+    assert(store.committed().count() === 3L)
+  }
+
+  test("supersedes is transitive: compact → crash before cleanup → compact again") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    store.commit("b1", triples(("u1", "hasTopic", "t1", 1L)))
+    store.commit("b2", triples(("u2", "mentions", "e1", 1L)))
+    // crash window: the compact manifest landed, cleanup never ran —
+    // b1/b2 manifests+data linger dead-but-present
+    store.compactImpl(Seq.empty, runCleanup = false)
+    assert(Files.exists(java.nio.file.Paths.get(root, "_manifest", "b1.commit")))
+    assert(store.committed().count() === 2L)
+    // a later compact supersedes-and-deletes the first compact's manifest;
+    // with transitive supersedes the new manifest still records b1/b2 dead
+    store.commit("b3", triples(("u3", "hasTopic", "t3", 1L)))
+    store.compact()
+    val rows = store.committed().select("subj", "pred", "obj")
+      .as[(String, String, String)].collect().sorted.toSeq
+    assert(rows === Seq(("u1", "hasTopic", "t1"), ("u2", "mentions", "e1"),
+      ("u3", "hasTopic", "t3")),
+      "deleted batches must not resurrect and kept rows must not duplicate")
+    // the second compact's sweep also removed the lingering dead manifests
+    val manifests = new java.io.File(s"$root/_manifest").listFiles()
+      .map(_.getName).filter(_.endsWith(".commit")).sorted
+    assert(manifests.length === 1, manifests.mkString(", "))
   }
 
   test("deleteWhere rewrites committed data (overwrite mode, S7)") {
