@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   * the query's ≤`tables` bucket directories (partition pruning — asserted
   * in PlanSpec) instead of scanning the corpus.
   *
+  * Storage layout (VERDICT r02 #3 — vectors must NOT be duplicated into
+  * every table's rows, which made the index ~8× the corpus):
+  *
+  *   dir/keys/tbl=<t>/kb=<b>/      (key, id)          — tables × ids rows,
+  *                                                      NO vectors
+  *   dir/vectors/vb=<n>/           (id, v)            — the corpus vectors
+  *                                                      stored exactly ONCE,
+  *                                                      bucketed by id
+  *
+  * Total index bytes ≈ corpus bytes + O(tables × ids) — the keys side is
+  * two longs per (table, vector).
+  *
+  * Probe = two pruned reads: the keys side prunes to the query's
+  * `(tbl, kb, key)` buckets and yields candidate ids; the vectors side
+  * prunes to the candidates' id-buckets (`vb`) and serves the exact-rank
+  * vectors. When the candidate set is too large to route through the
+  * driver (hot buckets at extreme scale), the probe falls back to a
+  * broadcast semi-join against the vectors table instead of `vb` pruning.
+  *
   * Same plane family/seed as [[Similarity]], so probe results are
   * candidate-identical to the one-shot path.
   */
@@ -24,6 +43,22 @@ object LshIndex {
     */
   val keyBuckets = 16
 
+  /** Id-bucket count for the vectors side (pruning granularity of the
+    * candidate fetch). A production deployment sizes this so one bucket
+    * is a few hundred MB.
+    */
+  val vecBuckets = 16
+
+  /** Candidate sets up to this size are collected to the driver so the
+    * vectors read can PARTITION-PRUNE on their id-buckets; beyond it the
+    * probe switches to a broadcast semi-join (no pruning, no driver risk).
+    */
+  val maxDriverCandidates = 10000
+
+  private def vb(idCol: org.apache.spark.sql.Column) =
+    pmod(idCol, lit(vecBuckets.toLong)).cast("int")
+
+  /** Keys-only signature rows: one (tbl, key, id) per table per vector. */
   def signatures(embeddings: DataFrame, p: Params,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
@@ -46,18 +81,18 @@ object LshIndex {
               if (Similarity.dot(pl(t * bits + b), v) >= 0) key |= (1L << b)
               b += 1
             }
-            (t, key, id, v)
+            (t, key, id)
           }
         }
-      }.toDF("tbl", "key", "id", "v")
+      }.toDF("tbl", "key", "id")
   }
 
-  /** Build (or rebuild) the index at `dir`. One narrow pass + one write;
-    * at scale this is the batch-indexing job that amortizes over all
-    * subsequent probes.
+  /** Build (or rebuild) the index at `dir`: one narrow pass + two writes
+    * (keys, vectors-once). At scale this is the batch-indexing job that
+    * amortizes over all subsequent probes.
     */
   def build(embeddings: DataFrame, dir: String, p: Params = Params(),
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     signatures(embeddings, p, idCol, vecCol)
       .withColumn("kb", pmod(col("key"), lit(keyBuckets)))
       // hash-distribute on the partition columns (Iceberg's
@@ -66,7 +101,16 @@ object LshIndex {
       .repartition(col("tbl"), col("kb"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("tbl", "kb")
-      .parquet(dir)
+      .parquet(s"$dir/keys")
+    embeddings
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vb", vb(col("id")))
+      .repartition(col("vb"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("vb")
+      .parquet(s"$dir/vectors")
+  }
 
   def queryKeys(query: Array[Double], p: Params): Seq[(Int, Long)] = {
     val planes = Similarity.randomPlanes(p.tables * p.bits, query.length, p.seed)
@@ -81,22 +125,49 @@ object LshIndex {
     }
   }
 
-  /** Probe: prune to the query's (tbl, kb) partitions, filter the exact
-    * keys, exact-rank candidates by cosine. The scan touches ≤ tables
-    * bucket dirs of the index — never the corpus.
+  /** Probe: prune the keys side to the query's (tbl, kb) partitions,
+    * filter the exact keys, then fetch ONLY the candidate ids' vectors
+    * (vb-pruned read, or a broadcast semi-join for oversized candidate
+    * sets) and exact-rank by cosine. Neither read touches the corpus.
     */
-  def topK(spark: SparkSession, dir: String, query: Array[Double],
-      k: Int = 10, p: Params = Params(),
-      excludeId: Option[Long] = None,
-      idCol: String = "vec_id"): DataFrame = {
+  /** The keys-side candidate read: prunes to the query's (tbl, kb)
+    * partitions and filters the exact keys. Exposed for plan tests.
+    */
+  private[graft] def candidateIds(spark: SparkSession, dir: String,
+      query: Array[Double], p: Params, excludeId: Option[Long]): DataFrame = {
     val keys = queryKeys(query, p)
     val pruned = keys.map { case (t, key) =>
       col("tbl") === t && col("kb") === (((key % keyBuckets) + keyBuckets) % keyBuckets) &&
         col("key") === key
     }.reduce(_ || _)
-    val base = spark.read.parquet(dir).filter(pruned)
-    val cands = excludeId.map(id => base.filter(col("id") =!= id)).getOrElse(base)
-      .select(col("id"), col("v")).dropDuplicates("id")
+    val keyRows = spark.read.parquet(s"$dir/keys").filter(pruned)
+    excludeId.map(id => keyRows.filter(col("id") =!= id))
+      .getOrElse(keyRows)
+      .select(col("id")).distinct()
+  }
+
+  def topK(spark: SparkSession, dir: String, query: Array[Double],
+      k: Int = 10, p: Params = Params(),
+      excludeId: Option[Long] = None,
+      idCol: String = "vec_id"): DataFrame = {
+    val candIdsDf = candidateIds(spark, dir, query, p, excludeId)
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    // the candidate ids are exactly what gets ranked — tiny for a sane
+    // index. Collect them so the vectors read partition-prunes on vb;
+    // fall back to a broadcast semi-join if a degenerate bucket explodes.
+    val candIds = candIdsDf.limit(maxDriverCandidates + 1)
+      .collect().map(_.getLong(0))
+    val cands =
+      if (candIds.length <= maxDriverCandidates) {
+        if (candIds.isEmpty) vectors.filter(lit(false))
+        else {
+          val vbs = candIds.map(id => ((id % vecBuckets) + vecBuckets) % vecBuckets)
+            .distinct.map(Long.box)
+          vectors
+            .filter(col("vb").isin(vbs: _*)) // partition pruning
+            .filter(col("id").isin(candIds.map(Long.box): _*))
+        }
+      } else vectors.join(broadcast(candIdsDf), Seq("id"), "left_semi")
     cands
       .withColumn("cosine", round(Similarity.cosineToQuery(col("v"), query), 4))
       .select(col("id").as(idCol), col("cosine"))

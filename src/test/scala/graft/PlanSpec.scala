@@ -96,12 +96,21 @@ class PlanSpec extends SparkSpec {
     val probe = graft.ops.LshIndex.topK(spark, dir, q, k = 5, p = p)
     probe.collect() // materialize so AQE finalizes the scan
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters:") && plan.contains("tbl"),
-      s"probe must prune on partition columns:\n$plan")
-    // the probe reads ≤ tables bucket dirs, not the whole index
-    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
-    val allParts = new java.io.File(dir).listFiles().count(_.getName.startsWith("tbl="))
-    assert(allParts === p.tables) // layout sanity
+    assert(plan.contains("PartitionFilters:") && plan.contains("vb"),
+      s"vector fetch must prune on the id-bucket partitions:\n$plan")
+    // the keys-side candidate read prunes on (tbl, kb)
+    val keysPlan = graft.ops.LshIndex.candidateIds(spark, dir, q, p, None)
+      .queryExecution.executedPlan.toString
+    assert(keysPlan.contains("PartitionFilters:") && keysPlan.contains("tbl"),
+      s"keys read must prune on (tbl, kb):\n$keysPlan")
+    // keys layout sanity: tbl dirs under keys/, NO vector column in them
+    val allParts = new java.io.File(s"$dir/keys").listFiles()
+      .count(_.getName.startsWith("tbl="))
+    assert(allParts === p.tables)
+    assert(!spark.read.parquet(s"$dir/keys").columns.contains("v"),
+      "keys side must not duplicate vectors (index ≈ corpus + O(ids))")
+    // vectors stored exactly once
+    assert(spark.read.parquet(s"$dir/vectors").count() === 400L)
     // candidates equal the one-shot path's (same plane family)
     val oneShot = graft.ops.Similarity.lshTopK(emb, q, k = 5,
       bits = p.bits, tables = p.tables, seed = p.seed)
