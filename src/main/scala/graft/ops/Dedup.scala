@@ -110,7 +110,14 @@ object Dedup {
       .select($"doc_id", coalesce($"comp", $"doc_id").as("canonical_id"))
   }
 
-  /** Exact word-shingle Jaccard for candidate pairs. */
+  /** Exact word-shingle Jaccard for candidate pairs.
+    *
+    * Shingles are HASHED to 64-bit before the join: a candidate pair then
+    * shuffles two Long-arrays instead of two doc-sized string arrays
+    * (~10× fewer shuffle bytes — VERDICT r02 #4). Jaccard over the hashed
+    * distinct sets equals Jaccard over the string sets up to xxhash64
+    * collisions (~n²/2⁶⁴ per doc — immaterial at any real shingle count).
+    */
   def verifyJaccard(
       docs: DataFrame,
       candidates: DataFrame,
@@ -123,7 +130,8 @@ object Dedup {
     val sets = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, wordShingles(text.split(" ").filter(_.nonEmpty), shingleSize).toArray.distinct)
+        (id, wordShingles(text.split(" ").filter(_.nonEmpty), shingleSize)
+          .map(sh => Hashing.xxhash64(sh)).toArray.distinct)
       }.toDF("id", "shingles")
     candidates
       .join(sets.select($"id".as("id_a"), $"shingles".as("sh_a")), Seq("id_a"))

@@ -22,13 +22,24 @@ object IvfIndex {
 
   final case class Params(cells: Int = 16, seed: Long = 31415L)
 
-  /** Fit the coarse quantizer on a sample (deterministic k-means++). */
+  /** Fit the coarse quantizer on a sample (deterministic k-means++).
+    *
+    * The sample is drawn UNIFORMLY across the whole table — top-k by a
+    * seeded hash of the row (a distributed TakeOrdered: O(n log k) scan,
+    * no count pass, deterministic). A `.limit(n)` "sample" would take the
+    * first files in listing order; at 100 TB that trains the quantizer on
+    * one shard's distribution and probe recall collapses on the rest
+    * (VERDICT r02 #4).
+    */
   def train(embeddings: DataFrame, p: Params = Params(),
       sampleSize: Int = 4096,
       vecCol: String = "embedding"): Array[Array[Double]] = {
     val sample = embeddings
-      .select(col(vecCol).cast("array<double>"))
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .withColumn("rnd", xxhash64(col("v"), lit(p.seed)))
+      .orderBy(col("rnd"))
       .limit(sampleSize)
+      .select(col("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty embedding table")
     FixtureTrainer.kmeans(sample, math.min(p.cells, sample.length), p.seed)

@@ -184,4 +184,37 @@ class DedupSpec extends SparkSpec {
     probe.collect()
     assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters:"))
   }
+
+  test("IVF quantizer sample is unbiased under skewed file order") {
+    import spark.implicits._
+    // three well-separated clusters laid out CLUSTER-MAJOR in one
+    // partition: a `limit(n)`-style sample with n ≤ cluster size would
+    // train the quantizer on cluster 0 ONLY and recall collapses on the
+    // rest (VERDICT r02 #4). The hash-ordered sample must see all three.
+    val dim = 8
+    val rng = new java.util.Random(11)
+    def cluster(c: Int, n: Int, from: Int) = (0 until n).map { i =>
+      val base = Array.tabulate(dim)(j => if (j == c) 10f else 0f)
+      ((from + i).toLong, base.map(v => v + 0.05f * rng.nextGaussian().toFloat))
+    }
+    val rows = cluster(0, 200, 0) ++ cluster(1, 200, 200) ++ cluster(2, 200, 400)
+    val df = rows.toDF("vec_id", "embedding").coalesce(1) // pin file order
+    val cents = graft.ops.IvfIndex.train(df,
+      graft.ops.IvfIndex.Params(cells = 3), sampleSize = 150) // < one cluster
+    // every cluster center must be the nearest to SOME centroid — i.e.
+    // the quantizer covered all three clusters, not just the first file's
+    val centers = (0 until 3).map(c => Array.tabulate(dim)(j => if (j == c) 10.0 else 0.0))
+    val assignedCells = centers.map(graft.ops.IvfIndex.nearestCell(cents, _)).toSet
+    assert(assignedCells.size === 3,
+      s"quantizer collapsed clusters into cells $assignedCells — biased sample")
+    // and the index remains probe-correct end to end
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfskew_").toString
+    graft.ops.IvfIndex.build(df, dir, cents)
+    val q = centers(2).clone()
+    val brute = graft.ops.Similarity.bruteForceTopK(df, q, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = graft.ops.IvfIndex.topK(spark, dir, q, cents, k = 5, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(brute.intersect(ivf).size.toDouble / brute.size >= 0.8)
+  }
 }
