@@ -740,7 +740,8 @@ object SparkEntry {
                 regexp_replace(regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
                 regexp_extract(url, '\?([^#]*)', 1) AS query
               FROM u),
-         norm AS (SELECT doc_id,
+         norm AS (SELECT u.doc_id,
+                CASE WHEN scheme = '' THEN url ELSE
                 scheme || '://' ||
                 CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
@@ -748,8 +749,8 @@ object SparkEntry {
                 path ||
                 CASE WHEN length(query) > 0
                      THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
-                     ELSE '' END AS url_norm
-              FROM parts)
+                     ELSE '' END END AS url_norm
+              FROM parts JOIN u ON parts.doc_id = u.doc_id)
          SELECT url_norm, count(*) AS n, min(doc_id) AS canonical_doc
          FROM norm GROUP BY 1 ORDER BY 1""",
     "q20_media_features" ->

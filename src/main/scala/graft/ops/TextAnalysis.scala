@@ -79,8 +79,12 @@ object TextAnalysis {
       regexp_extract(url, "^[^:]+://[^/?#]*([^?#]*)", 1), "/+$", "")
     val query = regexp_extract(url, "\\?([^#]*)", 1)
     val sortedQuery = array_join(sort_array(split(query, "&")), "&")
-    concat(scheme, lit("://"), host, path,
+    val normalized = concat(scheme, lit("://"), host, path,
       when(length(query) > 0, concat(lit("?"), sortedQuery)).otherwise(lit("")))
+    // scheme-less / malformed URLs (every '://'-anchored regex misses)
+    // would all collapse to "://..." and merge unrelated documents under
+    // one crawl-dedup key — pass them through unchanged instead
+    when(scheme === "", url).otherwise(normalized)
   }
 
   /** Document fingerprint: order-sensitive rolling (Horner) hash of token

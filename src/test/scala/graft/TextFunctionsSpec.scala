@@ -127,7 +127,12 @@ class TextFunctionsSpec extends SparkSpec {
       ("http://b.example.com:8080/p",             "http://b.example.com:8080/p"),
       ("https://c.example.com/path/",             "https://c.example.com/path"),
       ("https://d.example.com/p?one=1",           "https://d.example.com/p?one=1"),
-      ("ftp://E.Example.com:443/z",               "ftp://e.example.com:443/z"))
+      ("ftp://E.Example.com:443/z",               "ftp://e.example.com:443/z"),
+      // scheme-less / malformed URLs pass through UNCHANGED — collapsing
+      // them all to "://" would merge unrelated docs under one dedup key
+      ("example.com/path?b=2&a=1",                "example.com/path?b=2&a=1"),
+      ("not a url at all",                        "not a url at all"),
+      ("//protocol-relative.example.com/x",       "//protocol-relative.example.com/x"))
     val got = cases.map(_._1).toDF("url")
       .select(graft.ops.TextAnalysis.normalizeUrl(org.apache.spark.sql.functions.col("url")))
       .as[String].collect().toSeq
