@@ -147,20 +147,29 @@ object MediaCodecs {
     var off = 12
     var channels = 0; var rate = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    while (off + 8 <= b.length) {
+    var ok = true
+    while (ok && off + 8 <= b.length) {
       val id = new String(b, off, 4, "US-ASCII")
       val size = bb.getInt(off + 4)
-      id match {
-        case "fmt " =>
-          channels = bb.getShort(off + 10) & 0xFFFF
-          rate = bb.getInt(off + 12)
-          bits = bb.getShort(off + 22) & 0xFFFF
-        case "data" =>
-          dataOff = off + 8
-          dataLen = math.min(size, b.length - dataOff)
-        case _ => ()
+      // a malformed/adversarial chunk size (negative, or overflowing the
+      // word-aligned advance) would stall or move the walk backward —
+      // an infinite loop inside an executor task. Stop the walk instead;
+      // the require below then routes the caller to the stub path.
+      val next = off.toLong + 8L + size.toLong + (size & 1)
+      if (size < 0 || next <= off || next > Int.MaxValue) ok = false
+      else {
+        id match {
+          case "fmt " if off + 24 <= b.length =>
+            channels = bb.getShort(off + 10) & 0xFFFF
+            rate = bb.getInt(off + 12)
+            bits = bb.getShort(off + 22) & 0xFFFF
+          case "data" if off + 8 <= b.length =>
+            dataOff = off + 8
+            dataLen = math.max(0, math.min(size, b.length - dataOff))
+          case _ => ()
+        }
+        off = next.toInt
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
     }
     require(dataOff >= 0 && channels > 0, "malformed WAV")
     Wav(channels, rate, bits, dataOff, dataLen)
@@ -185,6 +194,15 @@ object MediaCodecs {
   object FormatDecoder extends MediaDecoder {
     override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] =
       rows.map { r =>
+        // malformed bytes behind a valid magic (truncated header,
+        // adversarial chunk sizes) must not kill the executor task —
+        // route them to the deterministic stub like any unknown codec
+        try decodeOne(r)
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+          Multimodal.DecodeStub.decodeBatch(Seq(r)).head }
+      }
+
+    private def decodeOne(r: MediaRow): MediaFeatures = {
         val b = r.media
         var h = 1125899906842597L
         var i = 0
@@ -202,6 +220,6 @@ object MediaCodecs {
           val w = parseWav(b)
           MediaFeatures(r.id, b.length.toLong, h, 0, 0, w.channels, w.frames)
         } else Multimodal.DecodeStub.decodeBatch(Seq(r)).head
-      }
+    }
   }
 }

@@ -109,4 +109,40 @@ class MediaCodecsSpec extends SparkSpec {
     assert(every3(1).toSeq ===
       (0 until 4).map(i => ((w.dataOffset - 44 + 12 + i) % 251).toByte).toSeq)
   }
+
+  test("malformed WAV chunk sizes terminate the walk and fall back to the stub") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // a valid RIFF/WAVE magic followed by a chunk whose size is NEGATIVE —
+    // the naive walk `off += 8 + size` would move backward forever inside
+    // an executor task
+    def evil(size: Int): Array[Byte] = {
+      val b = new Array[Byte](64)
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      "RIFF".getBytes.copyToArray(b, 0); bb.putInt(4, 56)
+      "WAVE".getBytes.copyToArray(b, 8)
+      "junk".getBytes.copyToArray(b, 12); bb.putInt(16, size)
+      b
+    }
+    for (size <- Seq(-5, -8, Int.MaxValue - 4, Int.MinValue)) {
+      assert(MediaCodecs.isWav(evil(size)))
+      intercept[IllegalArgumentException](MediaCodecs.parseWav(evil(size)))
+      // the Spark-path decoder routes the failure to the deterministic stub
+      val row = graft.ops.Multimodal.MediaRow(7L, evil(size),
+        graft.ops.Multimodal.MediaMeta("audio", 0, 0))
+      val got = MediaCodecs.FormatDecoder.decodeBatch(Seq(row))
+      val stub = graft.ops.Multimodal.DecodeStub.decodeBatch(Seq(row))
+      assert(got === stub)
+    }
+    // an fmt chunk whose declared body runs past the buffer is skipped,
+    // not read out of bounds
+    val truncated = {
+      val b = new Array[Byte](50)
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      "RIFF".getBytes.copyToArray(b, 0); bb.putInt(4, 42)
+      "WAVE".getBytes.copyToArray(b, 8)
+      "fmt ".getBytes.copyToArray(b, 12); bb.putInt(16, 100)
+      b
+    }
+    intercept[IllegalArgumentException](MediaCodecs.parseWav(truncated))
+  }
 }
