@@ -115,6 +115,29 @@ object TopicTerms {
       .filter(col("rank") <= k)
       .select(col("id_topic"), col("rank"), col("url"), col("dist_centroid"))
   }
+
+  /** W3 + M5 naming input: the representative docs WITH their
+    * prompt-truncated texts — exactly what the reference feeds its LLM
+    * namer (`topics_naming.py:62-79`: top-3 per topic by dist_centroid
+    * asc, text sliced to `maxLen` = 7500 chars).
+    *
+    * Scale shape: [[representativeDocs]] is k × topics rows — broadcast
+    * it and semi-join the corpus, so the text fetch is one pruned pass,
+    * never a shuffle of the corpus.
+    */
+  def representativeTexts(
+      cleaned: DataFrame,
+      params: Broadcast[TopicModelParams],
+      k: Int = 3,
+      maxLen: Int = 7500,
+      urlCol: String = "url",
+      textCol: String = "clean"): DataFrame = {
+    val reps = representativeDocs(cleaned, params, k, urlCol, textCol)
+    cleaned.select(col(urlCol).as("url"), col(textCol).cast("string").as("text"))
+      .join(broadcast(reps), Seq("url"))
+      .select(col("id_topic"), col("rank"), col("url"),
+        substring(col("text"), 1, maxLen).as("text"))
+  }
 }
 
 /** M5: topic naming — driver-side, out of the dataflow (the reference
@@ -124,6 +147,13 @@ object TopicTerms {
   */
 trait TopicNamer extends Serializable {
   def name(idTopic: Int, topTerms: Seq[String], representativeTexts: Seq[String]): String
+
+  /** Whether this namer consumes representative texts. The reference only
+    * gathers the top-3 texts for the LLM path (`topics_naming.py:62-79`);
+    * the deterministic fallbacks never touch them — so [[TopicNaming
+    * .nameTopics]] skips the text fetch entirely unless this is true.
+    */
+  def needsTexts: Boolean = false
 }
 
 /** The reference's deterministic fallback (`tables.py:59`). */
@@ -142,18 +172,35 @@ object TopicNaming {
   /** Build the `topics` table: (id_topic, topic_name, topic_size).
     * Naming runs on the DRIVER over k rows (k ≪ data; the reference's
     * per-topic LLM call has the same shape).
+    *
+    * `repTexts` (schema of [[TopicTerms.representativeTexts]]: id_topic,
+    * rank, url, text) supplies the reference LLM prompt's second input —
+    * the top-3 nearest-to-centroid documents, prompt-truncated
+    * (`topics_naming.py:62-79` + `config/prompts.yaml:16-38`). It is only
+    * COLLECTED when `namer.needsTexts` (the reference fetches texts for
+    * the LLM path alone); the collected set is bounded by
+    * k × topics × maxLen chars.
     */
   def nameTopics(
       topTerms: DataFrame,
       sizes: DataFrame,
-      namer: TopicNamer = DefaultTopicNamer): DataFrame = {
+      namer: TopicNamer = DefaultTopicNamer,
+      repTexts: Option[DataFrame] = None): DataFrame = {
     val spark = topTerms.sparkSession
     import spark.implicits._
     val byTopic = topTerms.select($"id_topic", $"rank", $"term")
       .as[(Int, Long, String)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val textsByTopic: Map[Int, Seq[String]] =
+      if (!namer.needsTexts) Map.empty
+      else repTexts match {
+        case None => Map.empty
+        case Some(rt) => rt.select($"id_topic", $"rank", $"text")
+          .as[(Int, Long, String)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      }
     val named = byTopic.toSeq.sortBy(_._1).map { case (id, terms) =>
-      (id, namer.name(id, terms, Seq.empty))
+      (id, namer.name(id, terms, textsByTopic.getOrElse(id, Seq.empty)))
     }.toDF("id_topic", "topic_name")
     named.join(sizes, Seq("id_topic"), "left")
       .select($"id_topic", $"topic_name",

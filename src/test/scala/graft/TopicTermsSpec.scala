@@ -78,4 +78,35 @@ class TopicTermsSpec extends SparkSpec {
     assert(byTerms(0) === "aa / bb")
     assert(byTerms(1) === "bb")
   }
+
+  test("nameTopics (M5): a texts-needing namer receives the W3 representative texts") {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(params)
+    val terms = TopicTerms.topTerms(cleaned, bc, topN = 5)
+    val sizes = TopicTerms.topicSizes(cleaned, bc)
+    // the reference prompts its LLM with top terms AND the top-3
+    // nearest-to-centroid texts, truncated (topics_naming.py:62-79) —
+    // the seam must deliver exactly those, in W3 rank order
+    val recorded = scala.collection.mutable.Map.empty[Int, (Seq[String], Seq[String])]
+    object Recorder extends graft.topics.TopicNamer {
+      override val needsTexts = true
+      override def name(id: Int, ts: Seq[String], texts: Seq[String]): String = {
+        recorded.synchronized { recorded(id) = (ts, texts) }; s"T$id"
+      }
+    }
+    val repTexts = TopicTerms.representativeTexts(cleaned, bc, k = 3, maxLen = 5)
+    TopicNaming.nameTopics(terms, sizes, Recorder, Some(repTexts)).collect()
+    // topic 0 docs by dist asc, url tie-break: u0 ("aa", dist 0) then u2;
+    // maxLen=5 truncates u2's "aa aa bb" → "aa aa"
+    assert(recorded(0)._2 === Seq("aa", "aa aa"))
+    assert(recorded(1)._2 === Seq("bb"))
+    assert(recorded(0)._1.head === "aa")
+    // the deterministic namers never trigger the text fetch: passing NO
+    // texts stays valid and produces the same names
+    val without = TopicNaming.nameTopics(terms, sizes, TermTopicNamer, None)
+      .as[(Int, String, Long)].collect().toSet
+    val withTexts = TopicNaming.nameTopics(terms, sizes, TermTopicNamer, Some(repTexts))
+      .as[(Int, String, Long)].collect().toSet
+    assert(without === withTexts)
+  }
 }
