@@ -15,6 +15,15 @@ import graft.topics.{TopicModelParams, TopicScorer}
   * the title is empty, `app.py:111`), then the SAME clean/NER/score code
   * the batch pipeline runs, so a 1-row answer equals the full pipeline's
   * triples for that page (pinned by ApiSpec).
+  *
+  * OFFSET CONTRACT (reference parity, `app.py:119` + `ner_extractor/
+  * model.py:173-186`): `begin_char`/`end_char` index into the RAW
+  * assembled full_text — the text the caller sent — and `entity_text` is
+  * that raw span (original case and spacing), even though detection runs
+  * on the cleaned text. `entity_text_norm` stays the normalized form the
+  * batch triples use. Empty/whitespace-only full_text is rejected
+  * (`IllegalArgumentException` — the analog of the reference's HTTP 400,
+  * `app.py:112-116`).
   */
 object Api {
 
@@ -31,6 +40,10 @@ object Api {
       dist_centroid: Double,
       entities: Seq[EntityHit])
 
+  private def assemble(title: String, text: String): String =
+    if (title != null && title.nonEmpty) s"$title. $text" // P9, app.py:111
+    else if (text == null) "" else text
+
   /** Driver-local single-text analyze: NO Spark job — a 1-row request
     * must not pay a cluster round trip (the reference's API path is a
     * single in-process model call too, `app.py:100-124`).
@@ -42,14 +55,43 @@ object Api {
       text: String,
       url: String = "api",
       keepTypes: Option[Set[String]] = None): Analysis = {
-    val assembled =
-      if (title != null && title.nonEmpty) s"$title. $text" // P9, app.py:111
-      else if (text == null) "" else text
-    val clean = Text.cleanTextScala(assembled)
+    val assembled = assemble(title, text)
+    require(assembled.trim.nonEmpty,
+      "Field 'text' must not be empty.") // app.py:112-116 (HTTP 400)
+    analyzeAssembled(trie, params, assembled, url, keepTypes)
+  }
+
+  /** The batch-surface twin WITHOUT the per-request empty guard: the
+    * batch pipeline analyzes empty pages (zero-vector topic assignment,
+    * no entities), and [[analyzePages]] must match it row for row.
+    */
+  private[graft] def analyzeUnguarded(
+      trie: TokenTrie,
+      params: TopicModelParams,
+      title: String,
+      text: String,
+      url: String = "api",
+      keepTypes: Option[Set[String]] = None): Analysis =
+    analyzeAssembled(trie, params, assemble(title, text), url, keepTypes)
+
+  private def analyzeAssembled(
+      trie: TokenTrie,
+      params: TopicModelParams,
+      assembled: String,
+      url: String,
+      keepTypes: Option[Set[String]]): Analysis = {
+    // detection runs on the cleaned text (batch parity); the offset map
+    // carries every cleaned char's raw span so hits are reported against
+    // the caller's text (reference parity)
+    val (clean, rawBegin, rawEnd) = Text.cleanTextWithOffsets(assembled)
     val t = TopicScorer.score(params, url, clean)
     val ents = NerExtractor.detect(trie, url, clean, keepTypes)
-      .map(m => EntityHit(m.entity_text, m.entity_text_norm, m.entity_type,
-        m.begin_char, m.end_char))
+      .map { m =>
+        val b = rawBegin(m.begin_char)
+        val e = rawEnd(m.end_char - 1)
+        EntityHit(assembled.substring(b, e), m.entity_text_norm,
+          m.entity_type, b, e)
+      }
       .toSeq
     Analysis(url, t.id_topic, t.dist_centroid, ents)
   }
@@ -73,7 +115,8 @@ object Api {
         val tr = trie.value
         val p = params.value
         it.map { case (url, title, text) =>
-          analyzeText(tr, p, title, text, url, keepTypes)
+          // unguarded: empty pages flow through like the batch pipeline
+          analyzeUnguarded(tr, p, title, text, url, keepTypes)
         }
       }
   }

@@ -58,14 +58,64 @@ class ApiSpec extends SparkSpec {
       base.entities.map(_.begin_char + "derby".length + 2))
   }
 
-  test("offsets point at the surface form in the CLEANED text") {
-    // whitespace-tokenized NER: keep entity tokens punctuation-free
+  test("offsets index the caller's RAW text (reference app.py:119)") {
+    // detection runs on the CLEANED text, but begin/end must index the
+    // raw assembled input and entity_text must be the raw span — original
+    // case and spacing preserved
     val text = "Erik  Larsen   visited   France today https://x.io/a"
     val a = Api.analyzeText(trie, params, null, text)
-    val clean = graft.functions.Text.cleanTextScala(text)
     assert(a.entities.map(_.entity_text_norm).sorted === Seq("erik larsen", "france"))
     a.entities.foreach { e =>
-      assert(clean.substring(e.begin_char, e.end_char) === e.entity_text)
+      assert(text.substring(e.begin_char, e.end_char) === e.entity_text)
+    }
+    assert(a.entities.map(_.entity_text).sorted === Seq("Erik  Larsen", "France"))
+    // entities AFTER a stripped URL still map to their raw positions
+    val withUrl = "see https://x.io/a then Erik Larsen spoke"
+    val b = Api.analyzeText(trie, params, null, withUrl)
+    val hit = b.entities.find(_.entity_text_norm == "erik larsen").get
+    assert(withUrl.substring(hit.begin_char, hit.end_char) === "Erik Larsen")
+    // a title shifts offsets by the RAW title length + ". "
+    val c = Api.analyzeText(trie, params, "BREAKING", withUrl)
+    val hitC = c.entities.find(_.entity_text_norm == "erik larsen").get
+    assert(hitC.begin_char === hit.begin_char + "BREAKING".length + 2)
+  }
+
+  test("empty or whitespace-only text is rejected (reference 400, app.py:112)") {
+    for ((t, x) <- Seq((null, ""), ("", "   "), (null, null), ("", "\n\t "))) {
+      val e = intercept[IllegalArgumentException](Api.analyzeText(trie, params, t, x))
+      assert(e.getMessage.contains("must not be empty"))
+    }
+    // a non-empty title alone passes: full_text = "Derby. " strips non-empty
+    assert(Api.analyzeText(trie, params, "Derby", "").entities !== null)
+  }
+
+  test("cleanTextWithOffsets equals cleanTextScala and maps spans exactly") {
+    import graft.functions.Text
+    val rng = new scala.util.Random(7)
+    val alphabet = "aA \t\n  zΣσİé.h:t/p" + "http://u.io "
+    val cases = Seq(
+      "", "   ", "Erik  Larsen", "https://only.url", " x ", "a b",
+      "İstanbul  Erik", "ΣΟΦΙΑ visited", "pre http://u.io/x post") ++
+      (1 to 200).map(_ => (1 to rng.nextInt(40))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    cases.foreach { s =>
+      val (clean, bs, es) = Text.cleanTextWithOffsets(s)
+      assert(clean === Text.cleanTextScala(s), s"string parity for <$s>")
+      assert(bs.length === clean.length && es.length === clean.length)
+      // spans are within the raw string, non-empty, and monotonic
+      (0 until clean.length).foreach { i =>
+        assert(bs(i) >= 0 && es(i) <= s.length && bs(i) < es(i), s"span $i of <$s>")
+        if (i > 0) assert(bs(i) >= bs(i - 1), s"monotonic at $i of <$s>")
+      }
+      // a non-space cleaned char whose source wasn't case-length-shifted
+      // maps to a raw char that case-folds to it (equalsIgnoreCase admits
+      // the context-sensitive final sigma: raw 'Σ' → cleaned 'ς')
+      (0 until clean.length).foreach { i =>
+        if (clean(i) != ' ' && es(i) - bs(i) == 1 &&
+            s.substring(bs(i), es(i)).toLowerCase.length == 1)
+          assert(s.substring(bs(i), es(i))
+            .equalsIgnoreCase(String.valueOf(clean(i))), s"char $i of <$s>")
+      }
     }
   }
 
@@ -81,8 +131,11 @@ class ApiSpec extends SparkSpec {
     val got = Api.analyzePages(rows, bTrie, bParams).collect()
       .map(a => a.url -> a).toMap
     data.foreach { case (u, t, x) =>
-      val exp = Api.analyzeText(trie, params, t, x, u)
+      // the batch surface is UNGUARDED: empty pages flow through like the
+      // batch pipeline (u3 would 400 on the single-text endpoint)
+      val exp = Api.analyzeUnguarded(trie, params, t, x, u)
       assert(got(u) === exp, u)
     }
+    assert(got("u3").entities.isEmpty)
   }
 }
