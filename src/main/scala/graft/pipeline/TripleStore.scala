@@ -294,6 +294,32 @@ final class TripleStore(val root: String, spark: SparkSession) {
   def compact(batches: Seq[String] = Seq.empty): Unit =
     compactImpl(batches, runCleanup = true)
 
+  /** Size-tiered auto-compaction (the streaming maintenance policy):
+    * while more than `maxLive` batches are live, fold the SMALLEST
+    * `fanIn` of them into one. A stream committing one manifest per
+    * micro-batch forever stays bounded at ~`maxLive` manifests, and —
+    * unlike full recompaction per trigger, which rewrites the whole
+    * store each time — each row is rewritten O(log_{fanIn} total/batch)
+    * times over the store's lifetime (LSM size-tiering). Returns the
+    * number of compactions performed.
+    */
+  def autoCompact(maxLive: Int = 16, fanIn: Int = 8): Int = {
+    require(maxLive >= 2 && fanIn >= 2, "autoCompact needs maxLive, fanIn >= 2")
+    var rounds = 0
+    var live = committedBatches()
+    while (live.size > maxLive) {
+      val bySize = live.map { b =>
+        val m = Files.readString(manifestDir.resolve(s"$b.commit"))
+        b -> RowsRe.findFirstMatchIn(m).map(_.group(1).toLong).getOrElse(0L)
+      }
+      val smallest = bySize.sortBy { case (b, r) => (r, b) }.take(fanIn).map(_._1)
+      compact(smallest)
+      rounds += 1
+      live = committedBatches()
+    }
+    rounds
+  }
+
   /** Crash-simulation seam (tests only): compact without the best-effort
     * cleanup, leaving superseded manifests+data in place — the state a
     * crash between the commit rename and cleanup produces.

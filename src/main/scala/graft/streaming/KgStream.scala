@@ -36,11 +36,21 @@ object KgStream {
       aliases: Option[DataFrame] = None,
       cfg: KgPipeline.Config = KgPipeline.Config(),
       trigger: Trigger = Trigger.AvailableNow(),
-      queryName: String = "kg-stream"): StreamingQuery = {
+      queryName: String = "kg-stream",
+      compactMaxLive: Int = 16,
+      compactFanIn: Int = 8): StreamingQuery = {
     val handle: (Dataset[Row], Long) => Unit = { (batch, epochId) =>
       KgPipeline.runIncremental(
         store, f"stream-$epochId%08d", batch.toDF(), trie, params, cfg,
         entityStore, aliases)
+      // maintenance rides the trigger: one-manifest-per-micro-batch
+      // forever would make every committed() read list unbounded dirs —
+      // size-tiered folding keeps the live manifest count ~compactMaxLive
+      // while rewriting each row only O(log) times (compactMaxLive <= 0
+      // disables). Crash-safe: compaction is an atomic supersede-swap,
+      // and a crash between commit and compaction just defers it one
+      // trigger.
+      if (compactMaxLive > 0) store.autoCompact(compactMaxLive, compactFanIn)
       ()
     }
     pages.writeStream

@@ -65,4 +65,49 @@ class KgStreamSpec extends SparkSpec {
     assert(es.dict().toDF()
       .orderBy("entity_text_norm", "entity_type").collect().toSeq === oracle)
   }
+
+  test("long-running stream: auto-compaction bounds manifests, triples and markers intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val trie = spark.sparkContext.broadcast(FixtureGazetteer.trie)
+    val params = spark.sparkContext.broadcast(SparkEntry.fixtureModel)
+    val root = Files.createTempDirectory("graft_ksc_").toString
+    val store = new TripleStore(root, spark)
+    val all = (100L until 160L).map { i =>
+      val g = PageGen.generate(i)
+      Page(g.url, g.warc_ts, g.html, g.text, g.lang)
+    }
+    val source = MemoryStream[Page]
+    // tight compaction budget so the policy actually exercises: 30
+    // micro-batches, never more than ~6 live manifests
+    val q = KgStream.start(source.toDF(), store, trie, params,
+      Files.createTempDirectory("graft_kckpt2_").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactMaxLive = 6, compactFanIn = 4)
+    try {
+      all.grouped(2).foreach { mb => // 30 micro-batches of 2 pages
+        source.addData(mb)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // live manifest count is bounded by the policy, not the batch count
+    val live = store.committedBatches()
+    assert(live.size <= 6, s"${live.size} live manifests: $live")
+    // committed triples equal a single-shot batch run (compaction loses
+    // and duplicates nothing)
+    val got = store.committed()
+      .filter(col("pred") =!= Pred.Processed)
+      .select("subj", "pred", "obj", "weight")
+      .collect().map(_.toString).sorted.toSeq
+    val single = KgPipeline.runManaged(
+      all.toDF(), trie, params, None) { t =>
+      t.select("subj", "pred", "obj", "weight")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(got === single)
+    // markers survive the folds: nothing is re-processable
+    assert(store.unprocessed(all.toDF(), Pred.Processed).count() === 0L)
+    assert(store.committed().filter(col("pred") === Pred.Processed)
+      .select("subj").distinct().count() === 60L)
+  }
 }
