@@ -140,7 +140,14 @@ final class TripleStore(val root: String, spark: SparkSession) {
       .withColumn("lang",
         if (triples.columns.contains("lang")) coalesce(col("lang"), lit("und"))
         else lit("und"))
-      .withColumn("bucket", pmod(xxhash64(col("subj")), lit(urlBuckets)))
+      // marker predicates (processedIn*) collapse to one bucket: nothing
+      // ever bucket-prunes markers (the anti-join filters pred and joins
+      // on subj), so spreading them over urlBuckets dirs only multiplies
+      // the per-commit file count; data predicates keep the url-hash
+      // spread for co-located joins and scoped deletes
+      .withColumn("bucket",
+        when(col("pred").startsWith(graft.schema.Pred.Processed), lit(0L))
+          .otherwise(pmod(xxhash64(col("subj")), lit(urlBuckets))))
     val obs = new Observation()
     val predCount = udaf(PredCounter)
     withPartCols
@@ -179,7 +186,9 @@ final class TripleStore(val root: String, spark: SparkSession) {
   }
 
   /** (relative file, rows) per data file from parquet footers — a
-    * metadata-only read (few KB per file), never the data pages.
+    * metadata-only read (few KB per file), never the data pages. Footer
+    * opens are ~20 ms each, so they run CONCURRENTLY (they dominated
+    * commit latency when serial: 148 files ≈ 3.3 s → ~0.4 s).
     */
   private def footerRowCounts(dir: String): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -187,17 +196,22 @@ final class TripleStore(val root: String, spark: SparkSession) {
     val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) return Seq.empty
     val it = fs.listFiles(base, true)
-    val out = Seq.newBuilder[(String, Long)]
+    val files = Seq.newBuilder[org.apache.hadoop.fs.Path]
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(files.result()) { p =>
+      Future {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-        try out += ((f.getPath.toString, reader.getRecordCount))
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try (p.toString, reader.getRecordCount)
         finally reader.close()
       }
-    }
-    out.result()
+    }, Duration.Inf)
   }
 
   /** All committed triples (subj, pred, obj, weight, lang, bucket, batch —
