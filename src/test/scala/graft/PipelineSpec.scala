@@ -95,6 +95,24 @@ class PipelineSpec extends SparkSpec {
     assert(fused === staged)
   }
 
+  test("saltedLink rides the fused analyzer: run(salted) == run(direct), hot or not") {
+    import spark.implicits._
+    // hotThreshold=0 makes EVERY entity hot → the salt actually exercises;
+    // the salted path now routes through the same compact analysis as the
+    // direct path (no runStaged detour), so triples must be identical
+    val direct = fullRun.select("subj", "pred", "obj", "weight", "lang")
+      .as[(String, String, String, Long, String)].collect().toSet
+    for (hot <- Seq(0L, 100000L)) {
+      val salted = KgPipeline.runManaged(
+        PageGen.pages(spark, N).toDF(), trieBc, paramsBc, Some(aliases),
+        KgPipeline.Config(saltedLink = true, hotThreshold = hot)) { t =>
+        t.select("subj", "pred", "obj", "weight", "lang")
+          .as[(String, String, String, Long, String)].collect().toSet
+      }
+      assert(salted === direct, s"hotThreshold=$hot")
+    }
+  }
+
   test("analyze: text_identical holds corpus-wide; surfaces are in-page counts") {
     import spark.implicits._
     val analyzed = KgPipeline.analyze(
