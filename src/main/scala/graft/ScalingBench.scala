@@ -65,9 +65,16 @@ object ScalingBench {
     import spark.implicits._
     val aliases = FixtureGazetteer.aliasPairs.toDF("norm_a", "norm_b", "entity_type")
     val pages = spark.read.parquet(inputDir)
+    // SPARK_GRAFT_SALTED=1 routes the mention link through the skew-safe
+    // salted join (same fused analyzer) — the no-regression check for the
+    // salted path at scale
+    val cfg =
+      if (sys.env.contains("SPARK_GRAFT_SALTED"))
+        KgPipeline.Config(saltedLink = true)
+      else KgPipeline.Config()
     // runManaged: persist the compact analysis for its two consumers,
     // release it after the materialization (no leak across repetitions)
-    KgPipeline.runManaged(pages, trie, params, Some(aliases)) { out =>
+    KgPipeline.runManaged(pages, trie, params, Some(aliases), cfg) { out =>
       // ONE materialization: the noop write evaluates every output row
       // and the Observation counts them in the same job — no second
       // pass, no cache of the result
