@@ -227,14 +227,18 @@ final class TripleStore(val root: String, spark: SparkSession) {
     "subj STRING, pred STRING, obj STRING, weight BIGINT, " +
       "lang STRING, bucket INT, batch STRING") // pred + last three: partition cols
 
-  def committed(): DataFrame = {
-    // skip rows:0 batches — their data dirs hold no parquet files (an
-    // empty partitionBy write emits none); their manifests still count
-    // for lineage/liveness
-    val batches = committedBatches().filter { b =>
+  /** Live batches with data files — rows:0 batches' dirs hold no parquet
+    * (an empty partitionBy write emits none); their manifests still count
+    * for lineage/liveness.
+    */
+  private def nonEmptyBatches(): Seq[String] =
+    committedBatches().filter { b =>
       val m = Files.readString(manifestDir.resolve(s"$b.commit"))
       RowsRe.findFirstMatchIn(m).forall(_.group(1).toLong > 0L)
     }
+
+  def committed(): DataFrame = {
+    val batches = nonEmptyBatches()
     if (batches.isEmpty) emptyTriples()
     else {
       spark.read
@@ -259,12 +263,32 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * `topics_detector/db_io.py:389-413`, PK `(id_news, id_run)`).
     */
   def unprocessed(pages: DataFrame, pred: String, urlCol: String = "url"): DataFrame = {
-    // pred is a leading partition column: this filter PRUNES to the
-    // marker directories — the anti-join never scans data triples, so a
-    // micro-batch's frontier read stays O(markers), not O(store)
-    val done = committed().filter(col("pred") === pred)
+    // pred is a leading partition column AND the read is rooted at the
+    // marker subdirectories: the anti-join neither scans NOR LISTS data
+    // partitions (listing every leaf dir is itself O(store files) at
+    // 10^12 triples), so a micro-batch's frontier read stays O(markers)
+    val done = committedForPred(pred)
+      .filter(col("pred") === pred) // belt over the path rooting
       .select(col("subj").as(urlCol)).distinct()
     pages.join(done, Seq(urlCol), "left_anti")
+  }
+
+  /** Committed triples of ONE predicate, read from `batch=* /pred=<p>`
+    * subtrees directly — file LISTING is proportional to that predicate's
+    * partitions, never the whole store. Same schema as [[committed]].
+    */
+  def committedForPred(pred: String): DataFrame = {
+    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(pred)
+    val dirs = nonEmptyBatches().map(b => s"${dataDir(b)}/pred=$escaped")
+      .filter(d => Files.exists(java.nio.file.Paths.get(
+        d.stripPrefix("file:"))))
+    if (dirs.isEmpty) emptyTriples()
+    else spark.read
+      .option("basePath", s"$root/data")
+      .schema(storedSchema)
+      .parquet(dirs: _*)
+      .select("subj", "pred", "obj", "weight", "lang", "bucket", "batch")
   }
 
   /** Predicated delete (S7) — reference `overwrite` mode: copy-on-write
