@@ -625,6 +625,20 @@ object SparkEntry {
       store.committed()
         .select(col("subj").cast("long").as("doc_id"), col("pred"), col("obj"))
         .orderBy(col("doc_id"), col("pred"))
+    }),
+    "q44_representative_texts" -> ((s, _) => {
+      // M5 naming input (round 3): top-3 nearest-to-centroid docs WITH
+      // their prompt-truncated texts — the reference LLM prompt's second
+      // input (topics_naming.py:62-79). maxLen=60 so truncation bites.
+      val params = s.sparkContext.broadcast(fixtureModel)
+      val cleaned = cleanedPages(s, 500L)
+      Stage.write("q44_assign", TopicScorer
+        .assignTopics(cleaned, params, textCol = "clean").toDF()
+        .select(col("url"), col("id_topic"), col("dist_centroid")))
+      Stage.write("q44_cleaned", cleaned.select(col("url"), col("clean")))
+      graft.topics.TopicTerms.representativeTexts(cleaned, params,
+          k = 3, maxLen = 60)
+        .orderBy(col("id_topic"), col("rank"))
     })
   )
 
@@ -789,6 +803,16 @@ object SparkEntry {
               FROM parts JOIN u ON parts.doc_id = u.doc_id)
          SELECT url_norm, count(*) AS n, min(doc_id) AS canonical_doc
          FROM norm GROUP BY 1 ORDER BY 1""",
+    "q44_representative_texts" ->
+      s"""WITH a AS (SELECT url, id_topic, dist_centroid FROM read_parquet('${Stage.glob("q44_assign")}')),
+         c AS (SELECT url, clean FROM read_parquet('${Stage.glob("q44_cleaned")}')),
+         rk AS (SELECT id_topic,
+                  CAST(row_number() OVER (PARTITION BY id_topic
+                       ORDER BY dist_centroid, url) AS BIGINT) AS rank,
+                  url FROM a)
+         SELECT rk.id_topic, rk.rank, rk.url, substr(c.clean, 1, 60) AS text
+         FROM rk JOIN c ON rk.url = c.url
+         WHERE rk.rank <= 3 ORDER BY rk.id_topic, rk.rank""",
     "q20_media_features" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS frames

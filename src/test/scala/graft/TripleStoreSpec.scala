@@ -109,6 +109,33 @@ class TripleStoreSpec extends SparkSpec {
       s"scan touched non-marker files: ${scannedMarkerOnly.mkString(", ")}")
   }
 
+  test("overwrite discovery: a pred-only condition on committed() prunes partitions") {
+    import spark.implicits._
+    val store = new TripleStore(tmp(), spark)
+    store.commit("b1", triples(
+      ("u1", "mentions", "e1", 1L), ("u1", "hasTopic:run1", "t1", 1L),
+      ("u2", "hasTopic:run1", "t2", 1L)))
+    store.commit("b2", triples(("u3", "mentions", "e3", 1L)))
+    // the same scan shape rewriteExcluding's affected-batch discovery
+    // runs for overwriteTopics' pred-only conditions: it must read only
+    // that predicate's partitions, never the mentions data
+    val disc = store.committed().filter(col("pred") === "hasTopic:run1")
+      .select(col("batch")).distinct()
+    assert(disc.as[String].collect().toSeq === Seq("b1"))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val files = scans(disc.queryExecution.executedPlan)
+      .flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("pred=hasTopic")),
+      s"discovery touched non-matching partitions: ${files.mkString(", ")}")
+  }
+
   test("deleteWhere retains NULL-evaluating rows (NULL is not a match)") {
     import spark.implicits._
     val store = new TripleStore(tmp(), spark)
