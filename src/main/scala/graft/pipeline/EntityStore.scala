@@ -53,8 +53,17 @@ import graft.schema.EntityRecord
   *     the batch id → skips → commit proceeds;
   *   - crash mid-merge (version dir written, pointer not swapped): the
   *     retry overwrites the same version dir and swaps.
+  *
+  * Version GC: after each pointer swap, version dirs older than
+  * `retainVersions` are deleted — a stream merging one batch per
+  * micro-batch forever keeps O(retainVersions) dirs, not O(batches).
+  * Hard-linked clean-bucket files survive through the newer versions'
+  * links (deleting an old dir only unlinks); `retainVersions ≥ 2` leaves
+  * the previous snapshot for in-flight readers (single-writer store).
   */
-final class EntityStore(val root: String, spark: SparkSession) {
+final class EntityStore(val root: String, spark: SparkSession,
+    retainVersions: Int = 2) {
+  require(retainVersions >= 1, "retainVersions must be >= 1")
 
   import spark.implicits._
   import EntityStore.dictBuckets
@@ -147,8 +156,21 @@ final class EntityStore(val root: String, spark: SparkSession) {
       Files.writeString(tmp, next.toString)
       Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      pruneVersions(next)
       true
     } finally batchSurf.unpersist(blocking = false)
+  }
+
+  /** Delete version dirs older than `retainVersions` behind `current`.
+    * Crash-safe: only already-superseded snapshots are touched; a retry
+    * just re-prunes.
+    */
+  private def pruneVersions(current: Long): Unit = {
+    var v = current - retainVersions
+    while (v >= 1L && Files.exists(versionDir(v))) {
+      deleteRecursively(versionDir(v))
+      v -= 1L
+    }
   }
 
   private def writeBuckets(df: DataFrame, dir: Path): Unit =

@@ -193,6 +193,28 @@ class EntityStoreSpec extends SparkSpec {
       .orderBy("entity_text_norm", "entity_type").collect().toSeq === oracle)
   }
 
+  test("version GC: many merges keep O(retain) version dirs; dict and idempotence intact") {
+    val root = tmp("graft_esgc_")
+    val es = new EntityStore(root, spark, retainVersions = 2)
+    val all = (1 to 10).map { i =>
+      rows((s"u$i", s"e${i % 3}", "ORG", s"E${i % 3}", i.toLong))
+    }
+    all.zipWithIndex.foreach { case (b, i) => assert(es.merge(s"b$i", b)) }
+    // a stream merging forever must not accumulate a dir per batch
+    val vDirs = new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v=")).map(_.getName).sorted
+    assert(vDirs.toSeq === Seq("v=10", "v=9"), vDirs.mkString(", "))
+    // the dictionary equals a single-shot recompute over the union
+    val union = all.reduce(_ unionByName _)
+    val full = graft.link.EntityLink.dictFromSurfaceRows(union).toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq
+    assert(es.dict().toDF()
+      .orderBy("entity_text_norm", "entity_type").collect().toSeq === full)
+    // batch-id idempotence survives pruning (ids ride the CURRENT version)
+    assert(!es.merge("b3", all(3)))
+    assert(es.mergedBatches().size === 10)
+  }
+
   test("merge is associative: any url-disjoint split of the corpus gives the same dictionary") {
     import spark.implicits._
     val all = (0 until 120).map { i =>
