@@ -40,9 +40,11 @@ object Api {
       dist_centroid: Double,
       entities: Seq[EntityHit])
 
-  private def assemble(title: String, text: String): String =
-    if (title != null && title.nonEmpty) s"$title. $text" // P9, app.py:111
-    else if (text == null) "" else text
+  private def assemble(title: String, text: String): String = {
+    val t = if (text == null) "" else text // null must not interpolate "null"
+    if (title != null && title.nonEmpty) s"$title. $t" // P9, app.py:111
+    else t
+  }
 
   /** Driver-local single-text analyze: NO Spark job — a 1-row request
     * must not pay a cluster round trip (the reference's API path is a

@@ -87,6 +87,9 @@ class ApiSpec extends SparkSpec {
     }
     // a non-empty title alone passes: full_text = "Derby. " strips non-empty
     assert(Api.analyzeText(trie, params, "Derby", "").entities !== null)
+    // null text with a title must NOT interpolate the string "null"
+    val t = Api.analyzeText(trie, params, "Derby", null)
+    assert(t === Api.analyzeText(trie, params, "Derby", ""))
   }
 
   test("cleanTextWithOffsets equals cleanTextScala and maps spans exactly") {
@@ -95,7 +98,9 @@ class ApiSpec extends SparkSpec {
     val alphabet = "aA \t\n  zΣσİé.h:t/p" + "http://u.io "
     val cases = Seq(
       "", "   ", "Erik  Larsen", "https://only.url", " x ", "a b",
-      "İstanbul  Erik", "ΣΟΦΙΑ visited", "pre http://u.io/x post") ++
+      "İstanbul  Erik", "ΣΟΦΙΑ visited", "pre http://u.io/x post",
+      "İ \ud835\udc9cx ΒΟΥΣ İq", // surrogate pair + length-changing lowercase
+      "emoji \ud83c\udf89 İmix") ++
       (1 to 200).map(_ => (1 to rng.nextInt(40))
         .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
     cases.foreach { s =>
