@@ -69,7 +69,8 @@ object ScalingBench {
     // salted join (same fused analyzer) — the no-regression check for the
     // salted path at scale
     val cfg =
-      if (sys.env.contains("SPARK_GRAFT_SALTED"))
+      if (sys.env.get("SPARK_GRAFT_SALTED")
+            .exists(v => v == "1" || v.equalsIgnoreCase("true")))
         KgPipeline.Config(saltedLink = true)
       else KgPipeline.Config()
     // runManaged: persist the compact analysis for its two consumers,

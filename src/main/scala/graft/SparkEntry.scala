@@ -39,12 +39,13 @@ object SparkEntry {
     * them OUTSIDE the timed region — the q22/q42 timings then measure the
     * probe, comparable across rounds. Verify builds on first use.
     */
-  private val lshIdxCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val lshIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(String, LshIndex.Params), String]
   private val ivfIdxCache =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Array[Double]], String)]
 
   private def lshIndexFor(s: SparkSession, d: String, p: LshIndex.Params): String =
-    lshIdxCache.getOrElseUpdate(d, {
+    lshIdxCache.getOrElseUpdate((d, p), {
       val idx = java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
       LshIndex.build(tbl(s, d, "embeddings"), idx, p)
       idx

@@ -160,11 +160,13 @@ object Text {
     val (s2, b2, e2) = regexPass(s1, b1, e1, WsPattern, keepSpace = true)
     // 3. strip URLs
     val (s3, b3, e3) = regexPass(s2, b2, e2, UrlPattern, keepSpace = false)
-    // 4. trim (every ws char is an ASCII space after pass 2)
+    // 4. trim with String.trim semantics: strips EVERY char <= U+0020 —
+    // non-whitespace C0 controls (e.g. \u0007 BEL) survive the collapse
+    // and cleanTextScala's `.trim` still eats them at the edges
     var lo = 0
     var hi = s3.length
-    while (lo < hi && s3.charAt(lo) == ' ') lo += 1
-    while (hi > lo && s3.charAt(hi - 1) == ' ') hi -= 1
+    while (lo < hi && s3.charAt(lo) <= ' ') lo += 1
+    while (hi > lo && s3.charAt(hi - 1) <= ' ') hi -= 1
     (s3.substring(lo, hi), b3.slice(lo, hi), e3.slice(lo, hi))
   }
 

@@ -167,7 +167,12 @@ object LshIndex {
             .filter(col("vb").isin(vbs: _*)) // partition pruning
             .filter(col("id").isin(candIds.map(Long.box): _*))
         }
-      } else vectors.join(broadcast(candIdsDf), Seq("id"), "left_semi")
+      } else
+        // oversized candidate set: a broadcast would COLLECT it on the
+        // driver first — the exact risk this branch exists to avoid. A
+        // plain semi-join lets Spark shuffle (or AQE choose broadcast if
+        // it measures the set small after all).
+        vectors.join(candIdsDf, Seq("id"), "left_semi")
     cands
       .withColumn("cosine", round(Similarity.cosineToQuery(col("v"), query), 4))
       .select(col("id").as(idCol), col("cosine"))

@@ -58,8 +58,14 @@ import graft.schema.EntityRecord
   * `retainVersions` are deleted — a stream merging one batch per
   * micro-batch forever keeps O(retainVersions) dirs, not O(batches).
   * Hard-linked clean-bucket files survive through the newer versions'
-  * links (deleting an old dir only unlinks); `retainVersions ≥ 2` leaves
-  * the previous snapshot for in-flight readers (single-writer store).
+  * links (deleting an old dir only unlinks).
+  *
+  * READER CONTRACT: a lazy `dict()`/`surfaces()` plan binds the version
+  * current at CALL time and stays readable only while that version
+  * survives — i.e. for the next `retainVersions - 1` merges. Materialize
+  * (collect/write/cache+count) promptly, or raise `retainVersions` to
+  * cover the longest reader window; a pruned-underneath reader fails
+  * loudly (FileNotFoundException), never silently wrong.
   */
 final class EntityStore(val root: String, spark: SparkSession,
     retainVersions: Int = 2) {

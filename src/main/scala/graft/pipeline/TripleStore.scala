@@ -117,6 +117,12 @@ final class TripleStore(val root: String, spark: SparkSession) {
     */
   val urlBuckets = 16
 
+  /** Bucket count for marker predicates — write-parallelism only (markers
+    * are never bucket-pruned), sized so a marker bucket-task carries about
+    * as many rows as a data bucket-task (~1 marker vs ~4 data rows/page).
+    */
+  val markerBuckets = 4
+
   /** Atomically commit one batch of triples. The manifest line carries
     * per-partition lineage + metrics (north rule): one (file, rows) entry
     * per task output file (from parquet footers — metadata only), plus
@@ -140,13 +146,18 @@ final class TripleStore(val root: String, spark: SparkSession) {
       .withColumn("lang",
         if (triples.columns.contains("lang")) coalesce(col("lang"), lit("und"))
         else lit("und"))
-      // marker predicates (processedIn*) collapse to one bucket: nothing
-      // ever bucket-prunes markers (the anti-join filters pred and joins
-      // on subj), so spreading them over urlBuckets dirs only multiplies
-      // the per-commit file count; data predicates keep the url-hash
-      // spread for co-located joins and scoped deletes
+      // marker predicates (processedIn*) use a COARSER bucket dimension:
+      // nothing ever bucket-prunes markers (the anti-join filters pred
+      // and joins on subj), so the full urlBuckets spread only multiplies
+      // the per-commit file count — but collapsing to ONE bucket would
+      // funnel every marker row of a lang into a single write task (a
+      // straggler at 10^8-page commits). markerBuckets balances the two:
+      // one marker row/page over markerBuckets ≈ data rows/bucket-task.
+      // Data predicates keep the url-hash spread for co-located joins and
+      // scoped deletes.
       .withColumn("bucket",
-        when(col("pred").startsWith(graft.schema.Pred.Processed), lit(0L))
+        when(col("pred").startsWith(graft.schema.Pred.Processed),
+          pmod(xxhash64(col("subj")), lit(markerBuckets)))
           .otherwise(pmod(xxhash64(col("subj")), lit(urlBuckets))))
     val obs = new Observation()
     val predCount = udaf(PredCounter)
@@ -363,8 +374,20 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * crash between the commit rename and cleanup produces.
     */
   private[graft] def compactImpl(batches: Seq[String], runCleanup: Boolean): Unit = {
-    val target = if (batches.nonEmpty) batches else committedBatches()
-    if (target.size < 2) return
+    // Only LIVE batches are foldable. An explicit list may arrive from an
+    // orchestrator RETRY after the compaction already completed — its
+    // targets are then dead (or cleaned away entirely); folding "them"
+    // would commit an EMPTY batch under the same deterministic compact id
+    // and Overwrite the real folded data. Dropping non-live targets makes
+    // the retry a safe no-op (crash-before-commit retries still see all
+    // targets live and redo the work).
+    val live = committedBatches().toSet
+    val target = (if (batches.nonEmpty) batches.filter(live) else live.toSeq).sorted
+    if (target.size < 2) {
+      // the retry may still owe the crashed run its cleanup
+      if (runCleanup) sweepLingeringDead()
+      return
+    }
     // rows:0 batches have NO data files (an empty partitionBy write emits
     // none) — fold their manifests away without trying to read them
     val nonEmpty = target.filter { b =>
@@ -382,14 +405,19 @@ final class TripleStore(val root: String, spark: SparkSession) {
     commit(cid, data, supersedes = target.sorted)
     if (runCleanup) {
       cleanup(target)
-      // opportunistic sweep of manifests that are dead but lingered from
-      // an earlier crash window (superseding commit landed, cleanup
-      // didn't) — safe because deadness is recorded transitively
-      val dead = deadBatches()
-      val lingering = manifestFiles()
-        .map(_.getFileName.toString.stripSuffix(".commit")).filter(dead)
-      if (lingering.nonEmpty) cleanup(lingering)
+      sweepLingeringDead()
     }
+  }
+
+  /** Opportunistic sweep of manifests that are dead but lingered from an
+    * earlier crash window (superseding commit landed, cleanup didn't) —
+    * safe because deadness is recorded transitively.
+    */
+  private def sweepLingeringDead(): Unit = {
+    val dead = deadBatches()
+    val lingering = manifestFiles()
+      .map(_.getFileName.toString.stripSuffix(".commit")).filter(dead)
+    if (lingering.nonEmpty) cleanup(lingering)
   }
 
   private def cleanup(batches: Seq[String]): Unit =

@@ -39,9 +39,17 @@ object KgStream {
       queryName: String = "kg-stream",
       compactMaxLive: Int = 16,
       compactFanIn: Int = 8): StreamingQuery = {
+    // Batch ids are NAMESPACED by the checkpoint location: a stream
+    // restarted with a FRESH checkpoint restarts epoch ids at 0, and a
+    // bare "stream-00000000" may already be dead (superseded by
+    // auto-compaction) — commit() rightly rejects dead ids, which would
+    // wedge the restarted stream forever. Same checkpoint → same ids →
+    // replay no-ops exactly as before.
+    val streamNs = java.lang.Long.toHexString(
+      graft.util.Hashing.xxhash64(checkpointDir)).take(8)
     val handle: (Dataset[Row], Long) => Unit = { (batch, epochId) =>
       KgPipeline.runIncremental(
-        store, f"stream-$epochId%08d", batch.toDF(), trie, params, cfg,
+        store, f"stream-$streamNs-$epochId%08d", batch.toDF(), trie, params, cfg,
         entityStore, aliases)
       // maintenance rides the trigger: one-manifest-per-micro-batch
       // forever would make every committed() read list unbounded dirs —

@@ -100,7 +100,10 @@ class ApiSpec extends SparkSpec {
       "", "   ", "Erik  Larsen", "https://only.url", " x ", "a b",
       "İstanbul  Erik", "ΣΟΦΙΑ visited", "pre http://u.io/x post",
       "İ \ud835\udc9cx ΒΟΥΣ İq", // surrogate pair + length-changing lowercase
-      "emoji \ud83c\udf89 İmix") ++
+      "emoji \ud83c\udf89 İmix",
+      // C0 controls at the edges: NOT regex-\s (survive the collapse)
+      // but String.trim still strips them — parity must hold
+      "\u0007Erik Larsen spoke", "x \u0007", "\u0001\u0007", "a\u0007b") ++
       (1 to 200).map(_ => (1 to rng.nextInt(40))
         .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
     cases.foreach { s =>

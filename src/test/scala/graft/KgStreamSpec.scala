@@ -109,5 +109,26 @@ class KgStreamSpec extends SparkSpec {
     assert(store.unprocessed(all.toDF(), Pred.Processed).count() === 0L)
     assert(store.committed().filter(col("pred") === Pred.Processed)
       .select("subj").distinct().count() === 60L)
+
+    // RESTART with a FRESH checkpoint: epoch ids reset to 0, and the old
+    // stream's batch ids are dead (compacted away) — the namespaced ids
+    // must keep the store ingestable (a bare "stream-00000000" would be
+    // rejected as superseded and wedge the stream forever)
+    val more = (160L until 166L).map { i =>
+      val g = PageGen.generate(i)
+      Page(g.url, g.warc_ts, g.html, g.text, g.lang)
+    }
+    val source2 = MemoryStream[Page]
+    val q2 = KgStream.start(source2.toDF(), store, trie, params,
+      Files.createTempDirectory("graft_kckpt3_").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactMaxLive = 6, compactFanIn = 4)
+    try {
+      source2.addData(more)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(store.committed().filter(col("pred") === Pred.Processed)
+      .select("subj").distinct().count() === 66L,
+      "fresh-checkpoint restart must ingest new pages")
   }
 }

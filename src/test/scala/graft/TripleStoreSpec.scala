@@ -169,6 +169,28 @@ class TripleStoreSpec extends SparkSpec {
     assert(store.committed().count() === 3L)
   }
 
+  test("retrying a COMPLETED compaction is a no-op, not an empty overwrite") {
+    import spark.implicits._
+    val store = new TripleStore(tmp(), spark)
+    store.commit("b1", triples(("u1", "hasTopic", "t1", 1L)))
+    store.commit("b2", triples(("u2", "mentions", "e1", 1L)))
+    store.compact(Seq("b1", "b2"))
+    assert(store.committed().count() === 2L)
+    // an orchestrator retry re-delivers the SAME explicit target list
+    // after cleanup already deleted b1/b2 — folding "them" again would
+    // commit an empty batch under the same deterministic compact id and
+    // overwrite the real folded data
+    store.compact(Seq("b1", "b2"))
+    val rows = store.committed().select("subj", "obj")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(rows === Seq(("u1", "t1"), ("u2", "e1")),
+      "retry must not lose the folded rows")
+    // partial-overlap retry (one dead target, one live) folds only live
+    store.commit("b3", triples(("u3", "mentions", "e3", 1L)))
+    store.compact(Seq("b1", "b3")) // b1 dead → single live target → no-op
+    assert(store.committed().count() === 3L)
+  }
+
   test("supersedes is transitive: compact → crash before cleanup → compact again") {
     import spark.implicits._
     val root = tmp()
