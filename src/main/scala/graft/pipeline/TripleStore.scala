@@ -273,15 +273,49 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * tracks its own assignment frontier (reference
     * `topics_detector/db_io.py:389-413`, PK `(id_news, id_run)`).
     */
-  def unprocessed(pages: DataFrame, pred: String, urlCol: String = "url"): DataFrame = {
+  def unprocessed(pages: DataFrame, pred: String, urlCol: String = "url",
+      bloomThreshold: Long = 10000000L): DataFrame = {
     // pred is a leading partition column AND the read is rooted at the
     // marker subdirectories: the anti-join neither scans NOR LISTS data
     // partitions (listing every leaf dir is itself O(store files) at
     // 10^12 triples), so a micro-batch's frontier read stays O(markers)
-    val done = committedForPred(pred)
+    val done0 = committedForPred(pred)
       .filter(col("pred") === pred) // belt over the path rooting
-      .select(col("subj").as(urlCol)).distinct()
-    pages.join(done, Seq(urlCol), "left_anti")
+      .select(col("subj").as(urlCol))
+    // Above bloomThreshold committed markers (known from manifest
+    // metrics — no data read), a bloom filter over the BATCH's urls
+    // shrinks the marker side to ~|batch| BEFORE the anti-join shuffle:
+    // the marker-side shuffle is what dominates a small micro-batch
+    // against a 10^10-marker store. Bloom false positives only retain
+    // extra marker rows whose urls are not in the batch — they cannot
+    // change a left_anti result; blooms have no false negatives.
+    val done =
+      if (predRowCount(pred) <= bloomThreshold) done0
+      else {
+        val spark = pages.sparkSession
+        val bf = spark.sparkContext.broadcast(
+          pages.stat.bloomFilter(urlCol, 10000000L, 0.03))
+        val mightContain = udf((u: String) => u != null && bf.value.mightContain(u))
+        done0.filter(mightContain(col(urlCol)))
+      }
+    pages.join(done.distinct(), Seq(urlCol), "left_anti")
+  }
+
+  private val PredsObjRe = """"preds":\{([^}]*)\}""".r
+
+  /** Committed row count of one predicate, summed from the per-manifest
+    * metrics — O(manifests) string parsing, never a data read.
+    */
+  def predRowCount(pred: String): Long = {
+    val escaped = pred.replace("\\", "\\\\").replace("\"", "\\\"")
+    val keyRe = (java.util.regex.Pattern.quote(s""""$escaped":""") + """(\d+)""").r
+    committedBatches().map { b =>
+      val m = Files.readString(manifestDir.resolve(s"$b.commit"))
+      PredsObjRe.findFirstMatchIn(m).map(_.group(1)) match {
+        case Some(preds) => keyRe.findFirstMatchIn(preds).map(_.group(1).toLong).getOrElse(0L)
+        case None => 0L
+      }
+    }.sum
   }
 
   /** Committed triples of ONE predicate, read from `batch=* /pred=<p>`

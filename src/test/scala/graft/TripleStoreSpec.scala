@@ -136,6 +136,26 @@ class TripleStoreSpec extends SparkSpec {
       s"discovery touched non-matching partitions: ${files.mkString(", ")}")
   }
 
+  test("bloom-pruned anti-join equals the plain path; predRowCount reads manifests only") {
+    import spark.implicits._
+    val store = new TripleStore(tmp(), spark)
+    store.commit("b1", triples(
+      ("u1", "processedIn", "b1", 1L), ("u2", "processedIn", "b1", 1L),
+      ("u1", "mentions", "e1", 1L)))
+    store.commit("b2", triples(("u3", "processedIn", "b2", 1L)))
+    assert(store.predRowCount("processedIn") === 3L)
+    assert(store.predRowCount("mentions") === 1L)
+    assert(store.predRowCount("nope") === 0L)
+    val pages = Seq("u1", "u2", "u3", "u4", "u5").toDF("url")
+    val plain = store.unprocessed(pages, "processedIn")
+      .as[String].collect().sorted.toSeq
+    // threshold 0 forces the bloom path (production trips it at 10^7)
+    val bloomed = store.unprocessed(pages, "processedIn", bloomThreshold = 0L)
+      .as[String].collect().sorted.toSeq
+    assert(plain === Seq("u4", "u5"))
+    assert(bloomed === plain)
+  }
+
   test("deleteWhere retains NULL-evaluating rows (NULL is not a match)") {
     import spark.implicits._
     val store = new TripleStore(tmp(), spark)
