@@ -785,12 +785,13 @@ object SparkEntry {
                 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) ||
                 '.Example.COM:443/news/' || CAST(doc_id AS VARCHAR) ||
                 '//?z=26&a=1&m=13#frag' AS url FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nfu FROM u),
          parts AS (SELECT doc_id,
-                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
-                regexp_replace(regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
-                regexp_extract(url, '\?([^#]*)', 1) AS query
-              FROM u),
+                lower(regexp_extract(nfu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(nfu, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+                regexp_replace(regexp_extract(nfu, '^[^:]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+                regexp_extract(nfu, '\?([^#]*)', 1) AS query
+              FROM nf),
          norm AS (SELECT u.doc_id,
                 CASE WHEN scheme = '' THEN url ELSE
                 scheme || '://' ||

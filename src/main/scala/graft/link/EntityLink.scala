@@ -97,9 +97,9 @@ object EntityLink {
 
   /** J4 broadcast variant: dictionary fits in memory (it does up to ~tens
     * of millions of entities with AQE; beyond that use [[linkSalted]]).
-    * Inner join + missing-key assertion column mirrors the reference's
-    * raise-on-missing (`tables.py:125-133`): callers may `.filter` on
-    * `_matched` or let `assertAllLinked` throw.
+    * LEFT join — an unmatched mention keeps its row with null dictionary
+    * columns, and [[assertAllLinked]] turns that into the reference's
+    * raise-on-missing (`tables.py:125-133`).
     */
   def linkBroadcast(mentions: DataFrame, dict: DataFrame): DataFrame = {
     mentions.join(broadcast(dict),

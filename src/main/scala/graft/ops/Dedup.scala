@@ -69,7 +69,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(" ").filter(_.nonEmpty)
+          val toks = (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
           val sig = signature(toks, p)
           (0 until p.bands).iterator.map { b =>
             var h = 1125899906842597L
@@ -130,7 +130,8 @@ object Dedup {
     val sets = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, wordShingles(text.split(" ").filter(_.nonEmpty), shingleSize)
+        (id, wordShingles((if (text == null) "" else text)
+          .split(" ").filter(_.nonEmpty), shingleSize)
           .map(sh => Hashing.xxhash64(sh)).toArray.distinct)
       }.toDF("id", "shingles")
     candidates
@@ -164,23 +165,35 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs: 4 × 16-bit bands (pigeonhole: hamming ≤ 3 ⇒
-    * at least one identical band) → candidates → verify hamming ≤ maxHamming.
+  /** SimHash near-dup pairs: (maxHamming+1) bands over the 64 bits
+    * (pigeonhole: hamming ≤ maxHamming ⇒ at least one identical band, so
+    * candidate RECALL is guaranteed for every threshold — a fixed 4-band
+    * layout silently under-recalled maxHamming > 3) → candidates →
+    * verify hamming ≤ maxHamming. maxHamming=3 keeps the exact 4×16-bit
+    * layout (q34's oracle restates it).
     */
   def simHashPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming=$maxHamming out of [0, 63]")
+    val bands = maxHamming + 1
+    // distribute 64 bits as evenly as possible over the bands
+    val widths = Array.tabulate(bands)(b => 64 / bands + (if (b < 64 % bands) 1 else 0))
+    val offs = widths.scanLeft(0)(_ + _)
+    def mask(b: Int): Long =
+      (if (widths(b) == 64) -1L else ((1L << widths(b)) - 1L)) << offs(b)
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, simhash(text.split(" ").filter(_.nonEmpty))) }
+      .map { case (id, text) =>
+        (id, simhash((if (text == null) "" else text).split(" ").filter(_.nonEmpty))) }
       .toDF("id", "sim")
     val banded = sigs.select($"id", $"sim",
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), ($"sim".bitwiseAND(lit(0xFFFFL << (16 * b)))).as("key"))): _*)).as("bk"))
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), ($"sim".bitwiseAND(lit(mask(b)))).as("key"))): _*)).as("bk"))
       .select($"id", $"sim", $"bk.band", $"bk.key")
     val cands = banded.as("l").join(banded.as("r"),
         $"l.band" === $"r.band" && $"l.key" === $"r.key" && $"l.id" < $"r.id")
@@ -260,13 +273,7 @@ object Dedup {
         val pl = bc.value
         it.flatMap { case (id, v) =>
           (0 until tables).iterator.map { t =>
-            var key = 0L
-            var b = 0
-            while (b < bits) {
-              if (Similarity.dot(pl(t * bits + b), v) >= 0) key |= (1L << b)
-              b += 1
-            }
-            (t, key, id, v)
+            (t, Similarity.lshKey(pl, v, t, bits), id, v)
           }
         }
       }.toDF("table", "key", "id", "v")

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * prunes to the candidates' id-buckets (`vb`) and serves the exact-rank
   * vectors. When the candidate set is too large to route through the
   * driver (hot buckets at extreme scale), the probe falls back to a
-  * broadcast semi-join against the vectors table instead of `vb` pruning.
+  * shuffle semi-join against the vectors table instead of `vb` pruning.
   *
   * Same plane family/seed as [[Similarity]], so probe results are
   * candidate-identical to the one-shot path.
@@ -51,7 +51,7 @@ object LshIndex {
 
   /** Candidate sets up to this size are collected to the driver so the
     * vectors read can PARTITION-PRUNE on their id-buckets; beyond it the
-    * probe switches to a broadcast semi-join (no pruning, no driver risk).
+    * probe switches to a shuffle semi-join (no pruning, no driver risk).
     */
   val maxDriverCandidates = 10000
 
@@ -75,13 +75,7 @@ object LshIndex {
         val pl = bc.value
         it.flatMap { case (id, v) =>
           (0 until tables).iterator.map { t =>
-            var key = 0L
-            var b = 0
-            while (b < bits) {
-              if (Similarity.dot(pl(t * bits + b), v) >= 0) key |= (1L << b)
-              b += 1
-            }
-            (t, key, id)
+            (t, Similarity.lshKey(pl, v, t, bits), id)
           }
         }
       }.toDF("tbl", "key", "id")
@@ -114,15 +108,7 @@ object LshIndex {
 
   def queryKeys(query: Array[Double], p: Params): Seq[(Int, Long)] = {
     val planes = Similarity.randomPlanes(p.tables * p.bits, query.length, p.seed)
-    (0 until p.tables).map { t =>
-      var key = 0L
-      var b = 0
-      while (b < p.bits) {
-        if (Similarity.dot(planes(t * p.bits + b), query) >= 0) key |= (1L << b)
-        b += 1
-      }
-      (t, key)
-    }
+    (0 until p.tables).map(t => (t, Similarity.lshKey(planes, query, t, p.bits)))
   }
 
   /** Probe: prune the keys side to the query's (tbl, kb) partitions,
@@ -154,7 +140,7 @@ object LshIndex {
     val vectors = spark.read.parquet(s"$dir/vectors")
     // the candidate ids are exactly what gets ranked — tiny for a sane
     // index. Collect them so the vectors read partition-prunes on vb;
-    // fall back to a broadcast semi-join if a degenerate bucket explodes.
+    // fall back to a shuffle semi-join if a degenerate bucket explodes.
     val candIds = candIdsDf.limit(maxDriverCandidates + 1)
       .collect().map(_.getLong(0))
     val cands =

@@ -54,7 +54,15 @@ object MediaCodecs {
     val w = int(); val h = int(); val maxv = int()
     require(maxv == 255, s"unsupported PPM maxval $maxv")
     i += 1 // single whitespace after maxval
-    Ppm(w, h, java.util.Arrays.copyOfRange(b, i, i + 3 * w * h))
+    // the allocation is driven by HEADER-declared geometry: a 60-byte
+    // blob declaring 30000×20000 would allocate 1.8 GB of zero-padding
+    // (copyOfRange pads past the source end) and OOM the executor —
+    // require the payload to actually be present; bounds failures route
+    // the caller to the stub path like any malformed media
+    val need = 3L * w * h
+    require(w > 0 && h > 0 && need <= Int.MaxValue &&
+      i + need <= b.length, s"truncated/absurd PPM geometry ${w}x$h for ${b.length} bytes")
+    Ppm(w, h, java.util.Arrays.copyOfRange(b, i, i + need.toInt))
   }
 
   def renderPpm(p: Ppm): Array[Byte] = {

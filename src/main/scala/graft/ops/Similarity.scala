@@ -27,6 +27,23 @@ object Similarity {
       }
     }
 
+  /** Sign-bit LSH key of vector `v` for table `t`: bit b is set iff
+    * v · planes(t*bits + b) >= 0. THE single definition of the key —
+    * LshIndex build/probe, the one-shot lshTopK and embeddingNearDup all
+    * call this, which is what keeps a materialized index candidate-
+    * identical to the one-shot path (a drifted copy of this loop would
+    * silently break index/query compatibility).
+    */
+  def lshKey(planes: Array[Array[Double]], v: Array[Double], t: Int, bits: Int): Long = {
+    var key = 0L
+    var b = 0
+    while (b < bits) {
+      if (dot(planes(t * bits + b), v) >= 0) key |= (1L << b)
+      b += 1
+    }
+    key
+  }
+
   def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
@@ -93,15 +110,8 @@ object Similarity {
     val dim = query.length
     val planes = randomPlanes(tables * bits, dim, seed)
     val bc = spark.sparkContext.broadcast(planes)
-    val queryKeys: Map[Int, Long] = (0 until tables).map { t =>
-      var key = 0L
-      var b = 0
-      while (b < bits) {
-        if (dot(planes(t * bits + b), query) >= 0) key |= (1L << b)
-        b += 1
-      }
-      t -> key
-    }.toMap
+    val queryKeys: Map[Int, Long] =
+      (0 until tables).map(t => t -> lshKey(planes, query, t, bits)).toMap
     val qk = spark.sparkContext.broadcast(queryKeys)
     val qv = spark.sparkContext.broadcast(query)
     val base = excludeId.map(id => embeddings.filter(col(idCol) =!= id))
@@ -117,13 +127,7 @@ object Similarity {
           var t = 0
           var hit = false
           while (t < tables && !hit) {
-            var key = 0L
-            var b = 0
-            while (b < bits) {
-              if (dot(pl(t * bits + b), v) >= 0) key |= (1L << b)
-              b += 1
-            }
-            hit = keys(t) == key
+            hit = keys(t) == lshKey(pl, v, t, bits)
             t += 1
           }
           if (hit) Iterator.single((id, cosine(v, q))) else Iterator.empty

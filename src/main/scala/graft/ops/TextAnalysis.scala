@@ -19,9 +19,13 @@ object TextAnalysis {
   private def hitCount(tokens: Column, stops: Seq[String]): Column =
     size(filter(tokens, t => t.isin(stops: _*)))
 
-  /** Language ID: stopword-hit vote between profiles; ties → "en". */
+  /** Language ID: stopword-hit vote between profiles; ties → "en".
+    * NULL text null-fills first: with a raw null, `en >= es` evaluates
+    * NULL and the otherwise-branch would mislabel every missing document
+    * "es" instead of the documented tie default.
+    */
   def langId(text: Column): Column = {
-    val toks = split(lower(text), " ")
+    val toks = split(lower(coalesce(text.cast("string"), lit(""))), " ")
     val en = hitCount(toks, enStops)
     val es = hitCount(toks, esStops)
     when(en >= es, lit("en")).otherwise(lit("es"))
@@ -70,14 +74,17 @@ object TextAnalysis {
     *   - trailing slashes stripped from the path
     */
   def normalizeUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(url, "^[^:]+://([^/?#]*)", 1))
+    // drop the fragment FIRST: a '?' inside the fragment (page#sec?x=1)
+    // must not resurrect as a query string on the canonical key
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[^:]+://([^/?#]*)", 1))
     val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     val path = regexp_replace(
-      regexp_extract(url, "^[^:]+://[^/?#]*([^?#]*)", 1), "/+$", "")
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+      regexp_extract(noFrag, "^[^:]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
     val sortedQuery = array_join(sort_array(split(query, "&")), "&")
     val normalized = concat(scheme, lit("://"), host, path,
       when(length(query) > 0, concat(lit("?"), sortedQuery)).otherwise(lit("")))

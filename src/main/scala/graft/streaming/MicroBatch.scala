@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.Trigger
 
 /** Deterministic micro-batch feed semantics (the reference's simulated
@@ -40,13 +39,12 @@ object MicroBatch {
     * must be unique) WITHOUT a global single-task window. Global row
     * numbers are assembled as (range-partition offset + local rank):
     *
-    *   1. `repartitionByRange(orderCol)` — a parallel range shuffle
-    *      (RangePartitioner's sampling is deterministic per lineage);
-    *   2. one tiny count-per-partition job → driver-side offset cumsum
-    *      (P numbers, not data);
-    *   3. local `row_number` windows partitioned by the range bucket —
-    *      every task ranks only its own range, no "No Partition Defined"
-    *      single-task funnel.
+    *   1. `repartitionByRange(orderCol)` + local sort — ONE compiled
+    *      plan, so one RangePartitioner instance (boundary determinism
+    *      across the internal jobs — see the inline note);
+    *   2. `zipWithIndex` — its count job and the main pass share that
+    *      instance and reuse the shuffle stage;
+    *   3. a narrow filter keeps the slice's global index range.
     *
     * At scale the input would be bucketed on orderCol and step 1 becomes
     * a metadata-only ordering; the shape here keeps all shuffles balanced.
@@ -59,19 +57,24 @@ object MicroBatch {
     val parts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions,
       math.max(1L, total / 1000L).min(Int.MaxValue).toInt))
-    val ranged = df.repartitionByRange(parts, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-    val counts = ranged.groupBy(col("_pid")).count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
-      .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("_pid", "_off"))
-    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-    ranged.join(offDf, Seq("_pid"))
-      .withColumn("_rn", row_number().over(w).cast("long") - 1 + col("_off"))
-      .filter(col("_rn") >= start && col("_rn") < end)
-      .drop("_rn", "_pid", "_off")
+    // ONE compiled plan → one RangePartitioner INSTANCE. The previous
+    // shape ran a counts job and the final job as two separately-compiled
+    // DataFrame actions, each building its own RangePartitioner — whose
+    // reservoir sample is seeded by rdd.id, so at scale (input larger
+    // than the range-exchange sample) the two jobs could disagree on the
+    // partition boundaries and the offset cumsum would misnumber boundary
+    // rows (dropped/duplicated slices). Converting to an RDD pins the
+    // partitioner; zipWithIndex's internal count job and the main pass
+    // both run over that same instance (the shuffle stage is computed
+    // once and reused), and local sort + partition offset = exact global
+    // row numbers without any single-task window.
+    val sorted = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val schema = sorted.schema
+    val slicedRdd = sorted.rdd.zipWithIndex()
+      .filter { case (_, i) => i >= start && i < end }
+      .map(_._1)
+    spark.createDataFrame(slicedRdd, schema)
   }
 
   /** Structured Streaming ingestion of a parquet directory with

@@ -95,10 +95,15 @@ object DistributedTrainer {
     tfidf.count()
     grams.unpersist(blocking = false)
 
-    // TruncatedSVD: V from the sparse RowMatrix; transform is X·V
+    // TruncatedSVD: V from the sparse RowMatrix; transform is X·V.
+    // computeSVD can return FEWER than nComponents columns for a
+    // rank-deficient matrix (near-zero singular values dropped) —
+    // zero-pad the missing components instead of indexing past V
+    // (beyond-rank dimensions contribute exactly 0 to the projection).
     val svd = new RowMatrix(tfidf).computeSVD(cfg.nComponents, computeU = false)
+    val rank = svd.V.numCols
     val components = Array.tabulate(vocab.length, cfg.nComponents)(
-      (i, j) => svd.V(i, j))
+      (i, j) => if (j < rank) svd.V(i, j) else 0.0)
     val compsBc = spark.sparkContext.broadcast(components)
 
     // reduced + Normalizer, then KMeans on the dense low-dim rows

@@ -162,7 +162,10 @@ object TopicScorer {
     val (idx, vals) = tfidfVector(params, text)
     val x = project(params, idx, vals)
     val (topic, dist) = assign(params, x)
-    TopicAssignment(url, Hashing.xxhash64(url), topic, dist)
+    // null url must not NPE the executor (text is defaulted the same way
+    // by every caller); a null-url row scores with an empty article id key
+    val u = if (url == null) "" else url
+    TopicAssignment(u, Hashing.xxhash64(u), topic, dist)
   }
 
   /** Distributed scoring: broadcast params + narrow mapPartitions — the

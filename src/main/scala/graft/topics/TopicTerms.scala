@@ -191,6 +191,11 @@ object TopicNaming {
     val byTopic = topTerms.select($"id_topic", $"rank", $"term")
       .as[(Int, Long, String)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // a topic whose member docs ALL project to the zero vector has size
+    // markers but no term rows — it must still appear in the topics
+    // table (named from empty terms), not silently vanish
+    val sizeIds = sizes.select($"id_topic").as[Int].collect().toSet
+    val allIds = (byTopic.keySet ++ sizeIds).toSeq.sorted
     val textsByTopic: Map[Int, Seq[String]] =
       if (!namer.needsTexts) Map.empty
       else repTexts match {
@@ -199,8 +204,9 @@ object TopicNaming {
           .as[(Int, Long, String)].collect()
           .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
       }
-    val named = byTopic.toSeq.sortBy(_._1).map { case (id, terms) =>
-      (id, namer.name(id, terms, textsByTopic.getOrElse(id, Seq.empty)))
+    val named = allIds.map { id =>
+      (id, namer.name(id, byTopic.getOrElse(id, Seq.empty),
+        textsByTopic.getOrElse(id, Seq.empty)))
     }.toDF("id_topic", "topic_name")
     named.join(sizes, Seq("id_topic"), "left")
       .select($"id_topic", $"topic_name",

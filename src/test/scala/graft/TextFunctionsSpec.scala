@@ -128,6 +128,9 @@ class TextFunctionsSpec extends SparkSpec {
       ("https://c.example.com/path/",             "https://c.example.com/path"),
       ("https://d.example.com/p?one=1",           "https://d.example.com/p?one=1"),
       ("ftp://E.Example.com:443/z",               "ftp://e.example.com:443/z"),
+      // a '?' INSIDE the fragment must not resurrect as a query string
+      ("http://a.example.com/page#sec?x=1",       "http://a.example.com/page"),
+      ("http://a.example.com/p?b=2&a=1#frag?z=9", "http://a.example.com/p?a=1&b=2"),
       // scheme-less / malformed URLs pass through UNCHANGED — collapsing
       // them all to "://" would merge unrelated docs under one dedup key
       ("example.com/path?b=2&a=1",                "example.com/path?b=2&a=1"),
@@ -137,5 +140,15 @@ class TextFunctionsSpec extends SparkSpec {
       .select(graft.ops.TextAnalysis.normalizeUrl(org.apache.spark.sql.functions.col("url")))
       .as[String].collect().toSeq
     assert(got === cases.map(_._2))
+  }
+
+  test("langId: NULL/empty text takes the documented tie default 'en', not 'es'") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(Some("el la de los"), Some("the cat"), Some(""), None)
+      .toDF("text")
+      .select(graft.ops.TextAnalysis.langId(col("text")))
+      .as[String].collect().toSeq
+    assert(got === Seq("es", "en", "en", "en"))
   }
 }

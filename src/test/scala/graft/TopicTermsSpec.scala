@@ -79,6 +79,20 @@ class TopicTermsSpec extends SparkSpec {
     assert(byTerms(1) === "bb")
   }
 
+  test("nameTopics: a topic whose docs ALL project to zero vector still appears") {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(params)
+    // out-of-vocab docs → zero tfidf → topic 0 with NO term contributions:
+    // sizes has the topic, topTerms does not — the table must not drop it
+    val oov = Seq(("u0", "zz qq"), ("u1", "ww")).toDF("url", "clean")
+    val terms = TopicTerms.topTerms(oov, bc, topN = 5)
+    val sizes = TopicTerms.topicSizes(oov, bc)
+    assert(terms.count() === 0L)
+    val table = TopicNaming.nameTopics(terms, sizes, DefaultTopicNamer)
+      .as[(Int, String, Long)].collect().toSet
+    assert(table === Set((0, "Topic 0", 2L)))
+  }
+
   test("nameTopics (M5): a texts-needing namer receives the W3 representative texts") {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(params)
