@@ -1208,7 +1208,7 @@ object SparkEntry {
          SELECT c_custkey,
                 coalesce(title, '') || '. ' || coalesce(content, '') AS batch_text,
                 CASE WHEN title IS NOT NULL AND length(title) > 0
-                     THEN title || '. ' || content ELSE content END AS api_text
+                     THEN title || '. ' || coalesce(content, '') ELSE content END AS api_text
          FROM t ORDER BY c_custkey"""
   )
 }

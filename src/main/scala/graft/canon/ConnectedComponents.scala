@@ -120,11 +120,20 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    // silent non-convergence = silently WRONG components (one real
+    // component reported as several) — fail loudly instead; HashMin
+    // converges in O(diameter) rounds, so this only trips on pathological
+    // chain graphs where the caller must raise maxIterations (or the
+    // driver union-find path applies)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIterations rounds " +
+        "(component diameter exceeds the budget); raise maxIterations")
     labels
   }
 
-  /** sameAs triples: one (entity, sameAs, canonical) per non-canonical
-    * node, labels rendered through `render` (e.g. back to entity keys).
+  /** sameAs label pairs: one (node, canonical) per non-canonical node —
+    * callers render ids back to entity keys themselves (KgPipeline joins
+    * through the dictionary).
     */
   def sameAsTriples(labels: DataFrame): DataFrame = {
     labels.filter(col("node") =!= col("comp"))

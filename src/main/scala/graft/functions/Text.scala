@@ -62,7 +62,9 @@ object Text {
     */
   def assembleTextApi(title: Column, text: Column): Column =
     when(title.isNotNull && length(title) > 0,
-      concat(title, lit(". "), text)).otherwise(text)
+      // null text must not null the whole concat (scalar twin Api.assemble
+      // null-fills the same way)
+      concat(title, lit(". "), coalesce(text, lit("")))).otherwise(text)
 
   /** Deterministic content-addressed ids replacing the reference's
     * BIGSERIAL surrogates (SURVEY.md §1.4, §2.9 fix #1). Stable across
@@ -90,7 +92,17 @@ object Text {
     var t = text.toLowerCase
     t = WsPattern.matcher(t).replaceAll(" ")
     t = UrlPattern.matcher(t).replaceAll("")
-    t.trim
+    // Python strip() semantics AFTER the collapse pass: every reference-
+    // whitespace char is already an ASCII space, and non-whitespace C0
+    // controls (\u0001..\u0008, \u000e..\u001b) must be KEPT — both
+    // Python strip() and the Column path's trim() keep them, while
+    // String.trim (<= U+0020) would overshoot and break the byte-parity
+    // contract with [[cleanText]].
+    var lo = 0
+    var hi = t.length
+    while (lo < hi && t.charAt(lo) == ' ') lo += 1
+    while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+    t.substring(lo, hi)
   }
 
   /** [[cleanTextScala]] plus an offset map back into the raw input: for
@@ -160,20 +172,26 @@ object Text {
     val (s2, b2, e2) = regexPass(s1, b1, e1, WsPattern, keepSpace = true)
     // 3. strip URLs
     val (s3, b3, e3) = regexPass(s2, b2, e2, UrlPattern, keepSpace = false)
-    // 4. trim with String.trim semantics: strips EVERY char <= U+0020 —
-    // non-whitespace C0 controls (e.g. \u0007 BEL) survive the collapse
-    // and cleanTextScala's `.trim` still eats them at the edges
+    // 4. trim exactly the spaces (Python strip() parity — see
+    // [[cleanTextScala]]: non-whitespace C0 controls stay)
     var lo = 0
     var hi = s3.length
-    while (lo < hi && s3.charAt(lo) <= ' ') lo += 1
-    while (hi > lo && s3.charAt(hi - 1) <= ' ') hi -= 1
+    while (lo < hi && s3.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s3.charAt(hi - 1) == ' ') hi -= 1
     (s3.substring(lo, hi), b3.slice(lo, hi), e3.slice(lo, hi))
   }
 
   /** sklearn's default TfidfVectorizer token pattern `(?u)\b\w\w+\b`
     * (reference `topics_detector/model.py:96-102`), as a Column producing
     * the token array of an (already cleaned, lowercased) text.
+    *
+    * The \w class is spelled `[\p{L}\p{N}_]`: Java's `(?U)\w` includes
+    * combining marks (Mn/Mc) and join controls that Python `re`'s \w
+    * (str.isalnum-based) excludes, and excludes No numerics ('½') that
+    * Python includes — the explicit class matches Python AND the DuckDB
+    * oracle dialect (RE2) exactly. A maximal run of class chars of
+    * length ≥ 2 ≡ `\b\w\w+\b` under greedy matching.
     */
   def sklearnTokens(c: Column): Column =
-    regexp_extract_all(c, lit("(?U)\\b\\w\\w+\\b"), lit(0))
+    regexp_extract_all(c, lit("[\\p{L}\\p{N}_]{2,}"), lit(0))
 }

@@ -189,13 +189,13 @@ final class EntityStore(val root: String, spark: SparkSession,
     if (prevVersion == 0L) return
     val prev = versionDir(prevVersion).resolve(name)
     if (!Files.exists(prev)) return
-    Files.list(prev).toArray.toSeq.map(p => Paths.get(p.toString)).foreach { d =>
+    listDir(prev).foreach { d =>
       val dn = d.getFileName.toString
       if (dn.startsWith("bucket=") &&
           !dirty.contains(dn.stripPrefix("bucket=").toInt)) {
         val target = nextDir.resolve(name).resolve(dn)
         Files.createDirectories(target)
-        Files.list(d).toArray.toSeq.map(f => Paths.get(f.toString)).foreach { f =>
+        listDir(d).foreach { f =>
           val t = target.resolve(f.getFileName)
           try Files.createLink(t, f)
           catch { case _: Exception =>
@@ -206,10 +206,14 @@ final class EntityStore(val root: String, spark: SparkSession,
     }
   }
 
+  /** Listing with the stream CLOSED (bare Files.list leaks a dir fd). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.toArray.toSeq.map(p => Paths.get(p.toString)) finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).toArray.toSeq.map(x => Paths.get(x.toString))
-        .foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 

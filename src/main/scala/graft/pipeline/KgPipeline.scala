@@ -85,8 +85,13 @@ object KgPipeline {
     val perArticle = EntityLink.mentionsPerArticle(mentions)
     val linked =
       if (cfg.saltedLink)
+        // prune the dict to the join key + id: its stats columns collide
+        // with perArticle's entity_mentions_count (AMBIGUOUS_REFERENCE in
+        // the select below) — same pruning as pageTriplesSalted
         EntityLink.linkSalted(
-          perArticle.drop("id_entity"), dict, cfg.saltFactor, cfg.hotThreshold)
+          perArticle.drop("id_entity"),
+          dict.select(col("entity_text_norm"), col("entity_type"), col("id_entity")),
+          cfg.saltFactor, cfg.hotThreshold)
       else perArticle // id already deterministic: xxhash64(norm, type)
     val mentionTriples = linked.select(
       $"url".as("subj"),
@@ -180,8 +185,12 @@ object KgPipeline {
         val p = params.value
         val keep = cfg.keepTypes
         it.map { case (url, lang, html, text) =>
+          // null html must not NPE the task — the staged path's HtmlToText
+          // Expression is null-safe, and run ≡ runStaged is a pinned
+          // contract
           val extracted = graft.functions.HtmlStripper.strip(
-            new String(html, java.nio.charset.StandardCharsets.UTF_8))
+            if (html == null) ""
+            else new String(html, java.nio.charset.StandardCharsets.UTF_8))
           val clean = graft.functions.CleanTextImpl.clean(
             org.apache.spark.unsafe.types.UTF8String.fromString(extracted)).toString
           val counts =
@@ -469,8 +478,25 @@ object KgPipeline {
         val markers = analyzed.toDF().select(
           col("url").as("subj"), lit(Pred.Processed).as("pred"),
           lit(batchId).as("obj"), lit(1L).as("weight"), col("lang"))
-        store.commit(batchId,
-          triplesFromAnalysis(analyzed, aliases, cfg = cfg).unionByName(markers))
+        // per-page triples come from THIS batch; sameAs edges are
+        // CORPUS-level facts: derive them from the cumulative dictionary
+        // when one exists (an edge whose two surface forms arrive in
+        // different batches materializes as soon as both are known), and
+        // anti-join against the already-committed sameAs partition so an
+        // edge is committed exactly ONCE across batches (committing the
+        // per-batch rebuild verbatim duplicated every recurring edge).
+        val pageT = triplesFromAnalysis(analyzed, None, cfg = cfg)
+        val sa = aliases.map { al =>
+          val dictDf = entityStore match {
+            case Some(es) => es.dict().toDF() // merged above → covers this batch
+            case None => EntityLink.dictFromSurfaceRows(surfaceRows(analyzed)).toDF()
+          }
+          sameAsTriples(dictDf, al).join(
+            store.committedForPred(Pred.SameAs).select(col("subj"), col("obj")),
+            Seq("subj", "obj"), "left_anti")
+        }
+        val triples = sa.foldLeft(pageT)(_ unionByName _)
+        store.commit(batchId, triples.unionByName(markers))
       }
     } finally analyzed.unpersist(blocking = false)
   }

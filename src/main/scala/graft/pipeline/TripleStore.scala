@@ -62,9 +62,17 @@ final class TripleStore(val root: String, spark: SparkSession) {
 
   Files.createDirectories(manifestDir)
 
+  /** Directory listing with the stream CLOSED (a bare Files.list leaks an
+    * open-directory fd until GC — a long-running stream calls this many
+    * times per micro-batch and would exhaust the fd table).
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.toArray.toSeq.map(p => Paths.get(p.toString)) finally s.close()
+  }
+
   private def manifestFiles(): Seq[Path] =
-    Files.list(manifestDir).toArray.toSeq.map(p => Paths.get(p.toString))
-      .filter(_.getFileName.toString.endsWith(".commit"))
+    listDir(manifestDir).filter(_.getFileName.toString.endsWith(".commit"))
 
   private val SupersedesRe = """"supersedes":\[([^\]]*)\]""".r
   private val RowsRe = """"rows":(\d+)""".r
@@ -250,7 +258,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
 
   def committed(): DataFrame = {
     val batches = nonEmptyBatches()
-    if (batches.isEmpty) emptyTriples()
+    if (batches.isEmpty) emptyStored()
     else {
       spark.read
         .option("basePath", s"$root/data")
@@ -260,11 +268,21 @@ final class TripleStore(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Empty writer-side frame (commit() derives lang/bucket itself). */
   private def emptyTriples(): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, String, String, Long)]
       .toDF("subj", "pred", "obj", "weight")
   }
+
+  /** Empty READER-side frame with the full stored schema — an empty store
+    * must expose the same columns (lang/bucket/batch included) as a
+    * non-empty one, or first-run callers referencing them would hit
+    * UNRESOLVED_COLUMN where the identical code works after one commit.
+    */
+  private def emptyStored(): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storedSchema)
 
   /** The incremental anti-join (J1/J2): pages whose url has NO committed
     * triple with `pred` — Spark's first-class left_anti replaces the
@@ -328,7 +346,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
     val dirs = nonEmptyBatches().map(b => s"${dataDir(b)}/pred=$escaped")
       .filter(d => Files.exists(java.nio.file.Paths.get(
         d.stripPrefix("file:"))))
-    if (dirs.isEmpty) emptyTriples()
+    if (dirs.isEmpty) emptyStored()
     else spark.read
       .option("basePath", s"$root/data")
       .schema(storedSchema)

@@ -57,8 +57,11 @@ final case class TopicAssignment(
 
 object TopicScorer {
 
-  /** sklearn default token pattern `(?u)\b\w\w+\b` (`model.py:96-102`). */
-  private val TokenPattern = java.util.regex.Pattern.compile("(?U)\\b\\w\\w+\\b")
+  /** sklearn default token pattern `(?u)\b\w\w+\b` (`model.py:96-102`) —
+    * spelled as the explicit class (Python-\w and oracle-RE2 exact; see
+    * [[graft.functions.Text.sklearnTokens]]); MUST stay identical to it.
+    */
+  private val TokenPattern = java.util.regex.Pattern.compile("[\\p{L}\\p{N}_]{2,}")
 
   def tokenize(text: String): Array[String] = {
     val m = TokenPattern.matcher(text)

@@ -113,6 +113,62 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("runStaged with saltedLink=true matches the fused run (latent dict-column collision)") {
+    import spark.implicits._
+    // the staged salted path joined the UNPRUNED dict → two
+    // entity_mentions_count columns → AMBIGUOUS_REFERENCE at select time
+    val staged = KgPipeline.runStaged(
+      PageGen.pages(spark, N).toDF(), trieBc, paramsBc, Some(aliases),
+      KgPipeline.Config(saltedLink = true, hotThreshold = 0L))
+      .select("subj", "pred", "obj", "weight", "lang")
+      .as[(String, String, String, Long, String)].collect().toSet
+    val fused = fullRun.select("subj", "pred", "obj", "weight", "lang")
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(staged === fused)
+  }
+
+  test("null html row flows through the fused analyzer like the staged path") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", "20240101000000", null.asInstanceOf[String], "plain text", "en"),
+      ("u2", "20240101000000", "<p>erik larsen spoke</p>", "erik larsen spoke", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val fused = KgPipeline.run(rows, trieBc, paramsBc, None,
+      KgPipeline.Config(cacheAnalysis = false))
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    val staged = KgPipeline.runStaged(rows, trieBc, paramsBc, None)
+      .select("subj", "pred", "obj").as[(String, String, String)].collect().toSet
+    assert(fused === staged)
+    assert(fused.exists(t => t._1 == "u1" && t._2 == "hasTopic"))
+  }
+
+  test("incremental batches commit each sameAs edge exactly once (cumulative dict)") {
+    import spark.implicits._
+    val store = new TripleStore(
+      Files.createTempDirectory("graft_sa_").toString, spark)
+    val es = new graft.pipeline.EntityStore(
+      Files.createTempDirectory("graft_sae_").toString, spark)
+    val all = PageGen.pages(spark, N).toDF().persist()
+    val half1 = all.filter(col("url").endsWith("0") || col("url").endsWith("1")
+      || col("url").endsWith("2") || col("url").endsWith("3"))
+    val half2 = all.exceptAll(half1)
+    KgPipeline.runIncremental(store, "b1", half1, trieBc, paramsBc,
+      KgPipeline.Config(), Some(es), Some(aliases))
+    KgPipeline.runIncremental(store, "b2", half2, trieBc, paramsBc,
+      KgPipeline.Config(), Some(es), Some(aliases))
+    val sa = store.committed().filter(col("pred") === Pred.SameAs)
+      .select("subj", "obj").as[(String, String)].collect().toSeq
+    assert(sa.distinct.size === sa.size, s"duplicate sameAs edges: $sa")
+    // with the CUMULATIVE dict, the committed edges equal a single-shot
+    // run over the union (edges whose forms straddle batches included)
+    val single = KgPipeline.runManaged(all, trieBc, paramsBc, Some(aliases)) { t =>
+      t.filter(col("pred") === Pred.SameAs)
+        .select("subj", "obj").as[(String, String)].collect().toSet
+    }
+    all.unpersist()
+    assert(sa.toSet === single)
+  }
+
   test("analyze: text_identical holds corpus-wide; surfaces are in-page counts") {
     import spark.implicits._
     val analyzed = KgPipeline.analyze(

@@ -74,7 +74,7 @@ class TextFunctionsSpec extends SparkSpec {
       ("t. c", Some("t. c")),
       (". c", Some("c")),
       (". c", Some("c")),
-      ("t. ", None))) // API path: null content stays null when title present
+      ("t. ", Some("t. ")))) // null content null-fills (scalar-twin parity)
   }
 
   test("scalar xxhash64 equals the Catalyst expression bit-for-bit") {
@@ -140,6 +140,31 @@ class TextFunctionsSpec extends SparkSpec {
       .select(graft.ops.TextAnalysis.normalizeUrl(org.apache.spark.sql.functions.col("url")))
       .as[String].collect().toSeq
     assert(got === cases.map(_._2))
+  }
+
+  test("trim parity: non-whitespace C0 controls at edges are KEPT by every path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Python strip() keeps  (not isspace); String.trim would eat it —
+    // scalar, offsets and Column paths must all agree on keeping it
+    val cases = Seq("\u0001 biden wins", "x \u0007", "\u0001\u0007", "ok")
+    val viaColumn = cases.toDF("t")
+      .select(graft.functions.Text.cleanText(col("t"))).as[String].collect().toSeq
+    val viaScalar = cases.map(graft.functions.Text.cleanTextScala)
+    val viaOffsets = cases.map(s => graft.functions.Text.cleanTextWithOffsets(s)._1)
+    assert(viaColumn === viaScalar)
+    assert(viaOffsets === viaScalar)
+    assert(viaScalar === Seq("\u0001 biden wins", "x \u0007", "\u0001\u0007", "ok"))
+  }
+
+  test("assembleTextApi: null text with a non-empty title yields 'title. ', not NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(("Foo", null.asInstanceOf[String]), ("Foo", "bar"), (null, "bar"))
+      .toDF("title", "text")
+      .select(graft.functions.Text.assembleTextApi(col("title"), col("text")))
+      .as[String].collect().toSeq
+    assert(got === Seq("Foo. ", "Foo. bar", "bar"))
   }
 
   test("langId: NULL/empty text takes the documented tie default 'en', not 'es'") {
