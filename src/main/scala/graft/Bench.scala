@@ -35,10 +35,14 @@ object Bench {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")))
       .groupBy().count().write.format("noop").mode("overwrite").save()
+    val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // a failure must be VISIBLE in the JSON: elapsed-until-throw read
+        // as a speedup in round-over-round comparison otherwise
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -46,7 +50,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$idxBuildSec,"sf":"$sfDir"}""")
+    val failedJson = failed.result().map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$idxBuildSec,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

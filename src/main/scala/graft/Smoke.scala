@@ -17,7 +17,10 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
+    // persist: count + the two shows would otherwise re-run the whole
+    // pipeline once EACH (the timed number then covers only a third)
     val df = SparkEntry.entry(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = df.count()
     println(f"[smoke] entry() rows=$n in ${(System.nanoTime() - t0) / 1e9}%.1f sec")
     df.groupBy("pred").count().orderBy("pred").show(10, truncate = false)

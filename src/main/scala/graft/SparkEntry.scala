@@ -29,6 +29,19 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir removed by a JVM shutdown hook — every gate/bench JVM
+    * otherwise leaves full index/store copies under /tmp forever. */
+  private[graft] def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(p: java.io.File): Unit = {
+        val cs = p.listFiles(); if (cs != null) cs.foreach(del); p.delete(); ()
+      }
+      del(d.toFile)
+    }))
+    d.toString
+  }
+
   private def queryVec(s: SparkSession, dir: String): Array[Double] =
     tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head()
@@ -46,7 +59,7 @@ object SparkEntry {
 
   private def lshIndexFor(s: SparkSession, d: String, p: LshIndex.Params): String =
     lshIdxCache.getOrElseUpdate((d, p), {
-      val idx = java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
+      val idx = scratchDir("graft_lshidx_")
       LshIndex.build(tbl(s, d, "embeddings"), idx, p)
       idx
     })
@@ -55,7 +68,7 @@ object SparkEntry {
     ivfIdxCache.getOrElseUpdate(d, {
       val emb = tbl(s, d, "embeddings")
       val cents = graft.ops.IvfIndex.train(emb)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+      val idx = scratchDir("graft_ivfidx_")
       graft.ops.IvfIndex.build(emb, idx, cents)
       (cents, idx)
     })
@@ -358,11 +371,8 @@ object SparkEntry {
 
     // --- embeddings ---
     "q21_cosine_topk" -> ((s, d) => {
-      val emb = tbl(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      Similarity.bruteForceTopK(emb, q, k = 10, excludeId = Some(0L))
+      Similarity.bruteForceTopK(tbl(s, d, "embeddings"), queryVec(s, d),
+        k = 10, excludeId = Some(0L))
     }),
     "q22_ann_lsh" -> ((s, d) => {
       // the 100 TB query shape: MATERIALIZED signature index partitioned
@@ -394,7 +404,8 @@ object SparkEntry {
       // candidacy (sign tests) — not a recall-dependent approximation
       val dim = tbl(s, d, "embeddings")
         .select(size(col("embedding"))).head().getInt(0)
-      Stage.write("q23_planes", planesDf(s, 4 * 12, dim, 11L))
+      Stage.write("q23_planes", planesDf(s,
+        Dedup.EmbedTables * Dedup.EmbedBits, dim, Dedup.EmbedSeed))
       Dedup.embeddingNearDup(tbl(s, d, "embeddings"), threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -524,8 +535,7 @@ object SparkEntry {
     "q35_tsv_roundtrip" -> ((s, d) => {
       // S2: TSV scan with required-column contract; written then re-read
       // so the oracle (plain documents SELECT) checks the round trip
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_tsv_").toString
+      val dir = scratchDir("graft_tsv_")
       graft.sources.Tsv.write(
         docs(s, d).select(col("doc_id"), col("lang"), col("text")), dir)
       graft.sources.Tsv.read(s, dir, required = Seq("doc_id", "lang", "text"),
@@ -593,7 +603,7 @@ object SparkEntry {
       // two url-disjoint batches merged into the EntityStore, plus a
       // RETRY of batch 1 (with drifted input!) that must no-op; the dict
       // must equal the oracle's single-shot recompute over the union
-      val root = java.nio.file.Files.createTempDirectory("graft_q40_").toString
+      val root = scratchDir("graft_q40_")
       val es = new EntityStore(root, s)
       val rows = docMentions(s, d).toDF().select(
         col("url"), col("entity_text_norm"), col("entity_type"),
@@ -611,7 +621,7 @@ object SparkEntry {
       // anti-join must skip b1's pages); run2 re-assigns EVERYTHING.
       // Assignment fn is SQL-expressible so the oracle restates both the
       // run-scoping AND the assigned topic values.
-      val root = java.nio.file.Files.createTempDirectory("graft_q41_").toString
+      val root = scratchDir("graft_q41_")
       val store = new TripleStore(root, s)
       val pages = docs(s, d).select(
         col("doc_id").cast("string").as("url"), col("lang"),
@@ -872,9 +882,9 @@ object SparkEntry {
     "q22_ann_lsh" ->
       s"""WITH planes AS (SELECT plane_id, v FROM read_parquet('${Stage.glob("q22_planes")}')),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-         keys AS (SELECT e.vec_id, CAST(p.plane_id // 10 AS INT) AS tbl,
+         keys AS (SELECT e.vec_id, CAST(p.plane_id // ${LshIndex.Params().bits} AS INT) AS tbl,
                     sum(CASE WHEN list_inner_product(e.ev, p.v) >= 0
-                        THEN (CAST(1 AS BIGINT) << (p.plane_id % 10)) ELSE 0 END) AS key
+                        THEN (CAST(1 AS BIGINT) << (p.plane_id % ${LshIndex.Params().bits})) ELSE 0 END) AS key
                   FROM e, planes p GROUP BY 1, 2),
          qk AS (SELECT tbl, key FROM keys WHERE vec_id = 0),
          cand AS (SELECT DISTINCT keys.vec_id FROM keys JOIN qk USING (tbl, key)

@@ -20,7 +20,10 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // fatal JVM errors (OOM, linkage) must abort: continuing in a
+        // corrupt JVM produces garbage dumps that read as value
+        // mismatches on healthy queries
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -253,12 +253,18 @@ object Dedup {
   /** Near-duplicate pairs by embedding cosine: random-hyperplane LSH
     * buckets (band of `bits` sign bits) → verified cosine ≥ threshold.
     */
+  /** Default LSH geometry for [[embeddingNearDup]] — referenced by the
+    * driver's staged-plane oracle so engine and oracle cannot drift. */
+  val EmbedBits = 12
+  val EmbedTables = 4
+  val EmbedSeed = 11L
+
   def embeddingNearDup(
       embeddings: DataFrame,
       threshold: Double = 0.95,
-      bits: Int = 12,
-      tables: Int = 4,
-      seed: Long = 11L,
+      bits: Int = EmbedBits,
+      tables: Int = EmbedTables,
+      seed: Long = EmbedSeed,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession

@@ -51,15 +51,23 @@ object DistributedTrainer {
       textCol: String = "clean",
       cfg: Config = Config()): (TopicModelParams, Double) = {
     val spark = cleaned.sparkSession
+    // every persisted handle is released in the finally below — a failed
+    // fit (empty vocab, rank issues) must not leak cached corpus copies
+    // into the block manager for the JVM's lifetime
+    val persisted = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    try {
 
     val tok = new RegexTokenizer()
       .setInputCol(textCol).setOutputCol("_toks")
-      .setPattern("(?U)\\b\\w\\w+\\b").setGaps(false)
+      // the explicit class — Python-\w / oracle-RE2 exact, identical to
+      // TopicScorer.tokenize and Text.sklearnTokens
+      .setPattern("[\\p{L}\\p{N}_]{2,}").setGaps(false)
       .setToLowercase(false) // text is already cleanText-lowercased
     val bi = new NGram().setN(2).setInputCol("_toks").setOutputCol("_bi")
     val grams = bi.transform(tok.transform(cleaned.select(col(textCol))))
       .withColumn("_grams", concat(col("_toks"), col("_bi")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted += (() => { grams.unpersist(blocking = false); () })
 
     val cvModel = new CountVectorizer()
       .setInputCol("_grams").setOutputCol("_counts")
@@ -92,6 +100,7 @@ object DistributedTrainer {
       }
       OldVectors.sparse(v.size, v.indices, vals)
     }.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted += (() => { tfidf.unpersist(blocking = false); () })
     tfidf.count()
     grams.unpersist(blocking = false)
 
@@ -131,6 +140,7 @@ object DistributedTrainer {
     }
     val redDf = spark.createDataFrame(reduced).toDF("features")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted += (() => { redDf.unpersist(blocking = false); () })
 
     val kmModel = new KMeans()
       .setK(cfg.k).setSeed(cfg.seed).setFeaturesCol("features")
@@ -143,8 +153,9 @@ object DistributedTrainer {
         .setFeaturesCol("features").setPredictionCol("prediction")
         .evaluate(kmModel.transform(redDf))
 
-    redDf.unpersist(blocking = false)
-    tfidf.unpersist(blocking = false)
     (TopicModelParams(vocab, idfSk, components, centroids), silhouette)
+
+    } finally persisted.foreach(f =>
+      try f() catch { case scala.util.control.NonFatal(_) => () })
   }
 }
