@@ -17,14 +17,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the full query list lets check_oracle.py FAIL any query that
+    // crashed here (a missing dump dir must not silently vanish from the
+    // gate); exit code stays 0 — the driver owns the pass/fail verdict
+    Files.writeString(Paths.get(outDir, "_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case scala.util.control.NonFatal(e) =>
         // fatal JVM errors (OOM, linkage) must abort: continuing in a
         // corrupt JVM produces garbage dumps that read as value
-        // mismatches on healthy queries
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // mismatches on healthy queries. Class + stack, not just the
+        // message (an NPE's message is null).
+        System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+        e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
