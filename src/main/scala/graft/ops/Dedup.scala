@@ -21,6 +21,48 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Default hot-bucket cap for the LSH band joins — see [[cappedPairs]]. */
+  val DefaultMaxBucket = 1000
+
+  /** Band-bucket self-join with a hot-bucket cap — the d² guard for
+    * duplicate-heavy web corpora (VERDICT r03 #1/#2): a band bucket
+    * holding d documents emits d² candidate pairs, and a cluster of 10⁶
+    * mirrored pages turns EVERY one of its band buckets into a 10¹²-pair
+    * bomb. Buckets with ≤ `maxBucket` members self-join in full; larger
+    * ("hot") buckets emit STAR pairs only — every member paired with the
+    * bucket's min id — which is O(d) per bucket and keeps the candidate
+    * graph CONNECTED within the bucket, so [[nearDupClusters]] still
+    * collapses the whole cluster. The pairs APIs under-report
+    * intra-hot-bucket pairs beyond the star (a documented cap, same
+    * contract as `maxShingleDf` in [[charShingleJaccard]]); hub pairs
+    * still pass downstream verification, so no false positives appear.
+    *
+    * `banded` must carry the band-key columns `bandCols` plus a long `id`;
+    * output is distinct (id_a, id_b) with id_a < id_b. Both the size
+    * count and the self-join shuffle on the same band key, so the cap
+    * adds one map-side-combined aggregation, not a new shuffle shape.
+    */
+  private[graft] def cappedPairs(
+      banded: DataFrame, bandCols: Seq[String], maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket=$maxBucket must be >= 1")
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val keys = bandCols.map(col)
+    val sizes = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bsz"))
+    val withSz = banded.join(sizes, bandCols)
+    val small = withSz.filter($"_bsz" <= maxBucket).drop("_bsz")
+    val joinCond = bandCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduce(_ && _) && $"l.id" < $"r.id"
+    val smallPairs = small.as("l").join(small.as("r"), joinCond)
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+    val hot = withSz.filter($"_bsz" > maxBucket).drop("_bsz")
+    val hubs = hot.groupBy(keys: _*).agg(min($"id").as("_hub"))
+    val hotPairs = hot.join(hubs, bandCols)
+      .filter($"id" =!= $"_hub")
+      .select($"_hub".as("id_a"), $"id".as("id_b"))
+    smallPairs.unionByName(hotPairs).distinct()
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   final case class MinHashParams(numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3, seed: Long = 7L) {
@@ -52,16 +94,28 @@ object Dedup {
     sig
   }
 
-  /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join →
-    * verified Jaccard ≥ threshold. Output: (id_a, id_b, jaccard) with
-    * id_a < id_b.
+  /** MinHash+LSH near-dup pairs: shingle → minhash → band → capped bucket
+    * join ([[cappedPairs]]) → verified Jaccard ≥ threshold. Output:
+    * (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minHashLsh(
       docs: DataFrame,
       threshold: Double = 0.8,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val candidates = minHashCandidates(docs, p, idCol, textCol, maxBucket)
+    verifyJaccard(docs, candidates, threshold, idCol, textCol, p.shingleSize)
+  }
+
+  /** Candidate stage of [[minHashLsh]], exposed for scale specs. */
+  private[graft] def minHashCandidates(
+      docs: DataFrame,
+      p: MinHashParams,
+      idCol: String,
+      textCol: String,
+      maxBucket: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // typed path: (id, text) → minhash signature → (bandId, bandHash, id)
@@ -79,12 +133,7 @@ object Dedup {
           }
         }
       }.toDF("band", "band_hash", "id")
-    val candidates = withSig.as("l").join(withSig.as("r"),
-        $"l.band" === $"r.band" && $"l.band_hash" === $"r.band_hash" &&
-          $"l.id" < $"r.id")
-      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
-      .distinct()
-    verifyJaccard(docs, candidates, threshold, idCol, textCol, p.shingleSize)
+    cappedPairs(withSig, Seq("band", "band_hash"), maxBucket)
   }
 
   /** Near-dup CLUSTERS: the shape a corpus-curation pass actually needs at
@@ -99,10 +148,11 @@ object Dedup {
       threshold: Double = 0.8,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = minHashLsh(docs, threshold, p, idCol, textCol)
+    val pairs = minHashLsh(docs, threshold, p, idCol, textCol, maxBucket)
       .select($"id_a".as("src"), $"id_b".as("dst"))
     val labels = graft.canon.ConnectedComponents.runAuto(pairs)
     docs.select(col(idCol).cast("long").as("doc_id"))
@@ -127,13 +177,7 @@ object Dedup {
       shingleSize: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sets = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, wordShingles((if (text == null) "" else text)
-          .split(" ").filter(_.nonEmpty), shingleSize)
-          .map(sh => Hashing.xxhash64(sh)).toArray.distinct)
-      }.toDF("id", "shingles")
+    val sets = candidateShingleSets(docs, candidates, idCol, textCol, shingleSize)
     candidates
       .join(sets.select($"id".as("id_a"), $"shingles".as("sh_a")), Seq("id_a"))
       .join(sets.select($"id".as("id_b"), $"shingles".as("sh_b")), Seq("id_b"))
@@ -142,6 +186,34 @@ object Dedup {
       .withColumn("jaccard", round($"inter" / $"uni", 4))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** The verify stage's shingle pass, PRUNED to candidate documents
+    * (VERDICT r03 #5): the shingle map sits behind a deserialization
+    * boundary, so Catalyst cannot push the candidate join below it —
+    * semi-join `docs` against the distinct candidate ids FIRST. On a
+    * converged incremental dedup, candidates ≪ corpus and the verify
+    * stage stops re-shingling everything.
+    */
+  private[graft] def candidateShingleSets(
+      docs: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id")))
+      .distinct()
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, wordShingles((if (text == null) "" else text)
+          .split(" ").filter(_.nonEmpty), shingleSize)
+          .map(sh => Hashing.xxhash64(sh)).toArray.distinct)
+      }.toDF("id", "shingles")
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -176,7 +248,8 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming=$maxHamming out of [0, 63]")
     val bands = maxHamming + 1
     // distribute 64 bits as evenly as possible over the bands
@@ -191,16 +264,17 @@ object Dedup {
       .map { case (id, text) =>
         (id, simhash((if (text == null) "" else text).split(" ").filter(_.nonEmpty))) }
       .toDF("id", "sim")
-    val banded = sigs.select($"id", $"sim",
+    // the banded rows carry ONLY (band, key, id) through the capped
+    // self-join; the two 64-bit signatures are fetched per surviving
+    // candidate pair from the (id, sim) table — two longs per row
+    val banded = sigs.select($"id",
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), ($"sim".bitwiseAND(lit(mask(b)))).as("key"))): _*)).as("bk"))
-      .select($"id", $"sim", $"bk.band", $"bk.key")
-    val cands = banded.as("l").join(banded.as("r"),
-        $"l.band" === $"r.band" && $"l.key" === $"r.key" && $"l.id" < $"r.id")
-      .select($"l.id".as("id_a"), $"l.sim".as("sim_a"),
-        $"r.id".as("id_b"), $"r.sim".as("sim_b"))
-      .distinct()
+      .select($"bk.band", $"bk.key", $"id")
+    val cands = cappedPairs(banded, Seq("band", "key"), maxBucket)
     cands
+      .join(sigs.select($"id".as("id_a"), $"sim".as("sim_a")), Seq("id_a"))
+      .join(sigs.select($"id".as("id_b"), $"sim".as("sim_b")), Seq("id_b"))
       .withColumn("hamming", bit_count($"sim_a".bitwiseXOR($"sim_b")))
       .filter($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
@@ -266,7 +340,42 @@ object Dedup {
       tables: Int = EmbedTables,
       seed: Long = EmbedSeed,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cands = embeddingCandidates(
+      embeddings, bits, tables, seed, idCol, vecCol, maxBucket)
+    // fetch the two vectors per CANDIDATE pair from the embedding table —
+    // the corpus vectors never ride the ×tables signature explode or the
+    // band self-join (VERDICT r03 #1; same layout as LshIndex's keys/
+    // vectors split). At 100 TB the sig shuffle is 3 longs/row and the
+    // pair shuffle is bounded by the capped candidate count.
+    val vecs = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    cands
+      .join(vecs.select($"id".as("id_a"), $"v".as("va")), Seq("id_a"))
+      .join(vecs.select($"id".as("id_b"), $"v".as("vb")), Seq("id_b"))
+      .select($"id_a", $"id_b", $"va", $"vb")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (a, b, va, vb) => (a, b, Similarity.cosine(va, vb)) }
+      .toDF("id_a", "id_b", "cosine")
+      .filter(round($"cosine", 4) >= threshold)
+      .withColumn("cosine", round($"cosine", 4))
+  }
+
+  /** Candidate stage of [[embeddingNearDup]]: keys-only signatures
+    * (table, key, id) → capped band self-join → distinct (id_a, id_b).
+    * No vector column anywhere in this plan (PlanSpec asserts it).
+    */
+  private[graft] def embeddingCandidates(
+      embeddings: DataFrame,
+      bits: Int,
+      tables: Int,
+      seed: Long,
+      idCol: String,
+      vecCol: String,
+      maxBucket: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
@@ -279,18 +388,10 @@ object Dedup {
         val pl = bc.value
         it.flatMap { case (id, v) =>
           (0 until tables).iterator.map { t =>
-            (t, Similarity.lshKey(pl, v, t, bits), id, v)
+            (t, Similarity.lshKey(pl, v, t, bits), id)
           }
         }
-      }.toDF("table", "key", "id", "v")
-    val cands = sigs.as("l").join(sigs.as("r"),
-        $"l.table" === $"r.table" && $"l.key" === $"r.key" && $"l.id" < $"r.id")
-      .select($"l.id".as("id_a"), $"l.v".as("va"), $"r.id".as("id_b"), $"r.v".as("vb"))
-      .dropDuplicates("id_a", "id_b")
-    cands.as[(Long, Array[Double], Long, Array[Double])]
-      .map { case (a, va, b, vb) => (a, b, Similarity.cosine(va, vb)) }
-      .toDF("id_a", "id_b", "cosine")
-      .filter(round($"cosine", 4) >= threshold)
-      .withColumn("cosine", round($"cosine", 4))
+      }.toDF("table", "key", "id")
+    cappedPairs(sigs, Seq("table", "key"), maxBucket)
   }
 }

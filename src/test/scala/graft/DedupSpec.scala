@@ -63,6 +63,42 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((3L, 4L)))
   }
 
+  test("hot-bucket cap: 1000 identical docs emit O(d) star candidates, not d², and still one cluster") {
+    import spark.implicits._
+    // a megadup cluster (mirrors/boilerplate): every band bucket holds all
+    // 1000 ids — uncapped, EACH band emits ~500k pairs; capped, each hot
+    // bucket emits 999 star pairs to the min id and they dedup to 999
+    val dup = (0L until 1000L).map(i => (i, base)).toDF("doc_id", "text")
+    val nCand = Dedup.minHashCandidates(
+      dup, Dedup.MinHashParams(), "doc_id", "text", maxBucket = 50).count()
+    assert(nCand === 999L, s"capped minhash candidates: $nCand")
+    // the star graph keeps the cluster CONNECTED: one canonical id
+    val clusters = Dedup.nearDupClusters(dup, threshold = 0.8, maxBucket = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size === 1000 && clusters.values.toSet === Set(0L))
+    // simhash: identical sims → hot buckets → star pairs, hamming 0
+    val nSim = Dedup.simHashPairs(dup, maxHamming = 3, maxBucket = 50).count()
+    assert(nSim === 999L, s"capped simhash pairs: $nSim")
+    // embedding: 1000 identical vectors → star candidates only
+    val vdup = (0L until 1000L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val nEmb = Dedup.embeddingCandidates(
+      vdup, Dedup.EmbedBits, Dedup.EmbedTables, Dedup.EmbedSeed,
+      "vec_id", "embedding", maxBucket = 50).count()
+    assert(nEmb === 999L, s"capped embedding candidates: $nEmb")
+  }
+
+  test("hot-bucket cap above the bucket size leaves candidates unchanged (full self-join)") {
+    import spark.implicits._
+    val dup = (0L until 30L).map(i => (i, base)).toDF("doc_id", "text")
+    val full = Dedup.minHashCandidates(
+      dup, Dedup.MinHashParams(), "doc_id", "text", Dedup.DefaultMaxBucket).count()
+    assert(full === 30L * 29L / 2L)
+    // and the verified pairs are all jaccard 1.0 either way
+    val pairs = Dedup.minHashLsh(dup, threshold = 0.9, maxBucket = 10)
+    assert(pairs.count() === 29L) // star pairs, all verified at 1.0
+  }
+
   test("simhash scalar: hamming(simhash(a), simhash(b)) small iff overlap high") {
     val a = Dedup.simhash(base.split(" "))
     val b = Dedup.simhash(base.replaceFirst("graphs", "tables").split(" "))

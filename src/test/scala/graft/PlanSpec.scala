@@ -119,6 +119,37 @@ class PlanSpec extends SparkSpec {
     assert(indexed === oneShot)
   }
 
+  test("embeddingNearDup candidate stage carries no vectors (keys-only band join)") {
+    import spark.implicits._
+    val emb = (0 until 50).map(i => (i.toLong, Array.fill(8)((i % 5).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val cands = graft.ops.Dedup.embeddingCandidates(
+      emb, graft.ops.Dedup.EmbedBits, graft.ops.Dedup.EmbedTables,
+      graft.ops.Dedup.EmbedSeed, "vec_id", "embedding",
+      graft.ops.Dedup.DefaultMaxBucket)
+    assert(cands.columns.toSeq === Seq("id_a", "id_b"))
+    // no join input/output anywhere in the candidate plan carries an array
+    // column — vectors must not ride the signature explode or the band
+    // self-join (VERDICT r03 #1)
+    val arrayAttrs = cands.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.output ++ j.children.flatMap(_.output)
+    }.flatten.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    assert(arrayAttrs.isEmpty,
+      s"vectors leaked into the candidate join: ${arrayAttrs.mkString(", ")}")
+  }
+
+  test("verifyJaccard shingles only candidate docs (semi-join below the shingle map)") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, s"doc $i text about topic number $i"))
+      .toDF("doc_id", "text")
+    val candidates = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val sets = graft.ops.Dedup.candidateShingleSets(docs, candidates, "doc_id", "text", 3)
+    assert(sets.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "the shingle pass must semi-join against candidate ids before mapping")
+    assert(sets.count() === 2L, "only candidate docs get shingled")
+  }
+
   test("q27 slice: every window is partitioned (no single-task global sort)") {
     val df = SparkEntry.queries("q27_microbatch_slice")(spark, sf)
     df.collect()
