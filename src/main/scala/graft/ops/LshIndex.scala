@@ -55,6 +55,14 @@ object LshIndex {
     */
   val maxDriverCandidates = 10000
 
+  /** Above this many candidate ids the exact-id filter switches from
+    * isin() literals to a broadcast semi-join: a 10k-literal isin builds
+    * an expression tree whose analysis/codegen dwarfs the probe itself
+    * (ADVICE r03). vb partition pruning still comes from the collected
+    * ids either way.
+    */
+  val maxIsinLiterals = 256
+
   private def vb(idCol: org.apache.spark.sql.Column) =
     pmod(idCol, lit(vecBuckets.toLong)).cast("int")
 
@@ -149,9 +157,15 @@ object LshIndex {
         else {
           val vbs = candIds.map(id => ((id % vecBuckets) + vecBuckets) % vecBuckets)
             .distinct.map(Long.box)
-          vectors
-            .filter(col("vb").isin(vbs: _*)) // partition pruning
-            .filter(col("id").isin(candIds.map(Long.box): _*))
+          val vbPruned = vectors.filter(col("vb").isin(vbs: _*)) // partition pruning
+          if (candIds.length <= maxIsinLiterals)
+            vbPruned.filter(col("id").isin(candIds.map(Long.box): _*))
+          else {
+            // larger candidate sets: a broadcast semi-join on the (tiny,
+            // already-pruned) keys read replaces a 10k-literal isin tree
+            import spark.implicits._
+            vbPruned.join(broadcast(candIds.toSeq.toDF("id")), Seq("id"), "left_semi")
+          }
         }
       } else
         // oversized candidate set: a broadcast would COLLECT it on the

@@ -221,16 +221,25 @@ final class TripleStore(val root: String, spark: SparkSession) {
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
     }
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.traverse(files.result()) { p =>
-      Future {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try (p.toString, reader.getRecordCount)
-        finally reader.close()
-      }
-    }, Duration.Inf)
+    import scala.concurrent.duration._
+    // dedicated bounded IO pool: footer opens BLOCK on filesystem IO, so
+    // running them on ExecutionContext.global (sized to CPU count) would
+    // starve any driver-side user of the global EC for the duration of a
+    // large commit; a finite await turns a hung filesystem into an error
+    // instead of a silent driver wedge
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, files.result().size.max(1)))
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      Await.result(Future.traverse(files.result()) { p =>
+        Future {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try (p.toString, reader.getRecordCount)
+          finally reader.close()
+        }
+      }, 10.minutes)
+    } finally pool.shutdown()
   }
 
   /** All committed triples (subj, pred, obj, weight, lang, bucket, batch —
@@ -307,12 +316,25 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // against a 10^10-marker store. Bloom false positives only retain
     // extra marker rows whose urls are not in the batch — they cannot
     // change a left_anti result; blooms have no false negatives.
+    //
+    // DETERMINISM PRECONDITION: the `pages` plan is evaluated twice here
+    // (count + bloom build) and once more by the anti-join. All callers
+    // pass deterministic plans (parquet/fixture reads + deterministic
+    // transforms). A NONDETERMINISTIC pages plan (e.g. a sample without a
+    // seed) could yield bloom false negatives against the join-time rows,
+    // dropping committed markers and re-committing processed pages as
+    // duplicates — persist such a plan before calling.
     val done =
       if (predRowCount(pred) <= bloomThreshold) done0
       else {
         val spark = pages.sparkSession
+        // size the bloom from a cheap batch count (the marker side is
+        // ≥ bloomThreshold rows; one narrow pass over the batch is noise)
+        // instead of a fixed 10M-slot ~9 MB broadcast whose fpp also
+        // degrades for batches larger than the hardcoded capacity
+        val expected = math.max(pages.count(), 1024L)
         val bf = spark.sparkContext.broadcast(
-          pages.stat.bloomFilter(urlCol, 10000000L, 0.03))
+          pages.stat.bloomFilter(urlCol, expected, 0.03))
         val mightContain = udf((u: String) => u != null && bf.value.mightContain(u))
         done0.filter(mightContain(col(urlCol)))
       }
@@ -343,9 +365,16 @@ final class TripleStore(val root: String, spark: SparkSession) {
   def committedForPred(pred: String): DataFrame = {
     val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(pred)
+    // existence check through the Hadoop FileSystem API (as
+    // footerRowCounts does) — a java.nio probe is always false on
+    // non-local roots (hdfs/s3), which would silently return an empty
+    // marker set and make unprocessed() reprocess everything
+    val conf = spark.sessionState.newHadoopConf()
     val dirs = nonEmptyBatches().map(b => s"${dataDir(b)}/pred=$escaped")
-      .filter(d => Files.exists(java.nio.file.Paths.get(
-        d.stripPrefix("file:"))))
+      .filter { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).exists(p)
+      }
     if (dirs.isEmpty) emptyStored()
     else spark.read
       .option("basePath", s"$root/data")
@@ -463,13 +492,33 @@ final class TripleStore(val root: String, spark: SparkSession) {
 
   /** Opportunistic sweep of manifests that are dead but lingered from an
     * earlier crash window (superseding commit landed, cleanup didn't) —
-    * safe because deadness is recorded transitively.
+    * safe because deadness is recorded transitively. Also sweeps ORPHAN
+    * rewrite/compaction data dirs: a crash between the zcompact/zrewrite
+    * data write and its manifest rename leaves a dir with no `.commit`;
+    * if the retry's target set shifted (new batches arrived), its
+    * deterministic id differs and the orphan would leak forever —
+    * invisible to readers, but permanent storage. Only the z-prefixed
+    * staging ids are swept (they are written synchronously inside
+    * compact/delete calls, never by a concurrent ingest writer).
     */
   private def sweepLingeringDead(): Unit = {
     val dead = deadBatches()
     val lingering = manifestFiles()
       .map(_.getFileName.toString.stripSuffix(".commit")).filter(dead)
     if (lingering.nonEmpty) cleanup(lingering)
+    val manifested = manifestFiles()
+      .map(_.getFileName.toString.stripSuffix(".commit")).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
+    val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dataRoot)) {
+      val orphans = fs.listStatus(dataRoot).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("batch=z"))
+        .map(_.stripPrefix("batch="))
+        .filterNot(manifested)
+      if (orphans.nonEmpty) cleanup(orphans)
+    }
   }
 
   private def cleanup(batches: Seq[String]): Unit =

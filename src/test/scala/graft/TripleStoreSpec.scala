@@ -32,6 +32,26 @@ class TripleStoreSpec extends SparkSpec {
     assert(got.toSeq === Seq("u2"))
   }
 
+  test("compaction sweeps orphan z-staging dirs but never unmanifested ingest dirs") {
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    for (i <- 1 to 3)
+      store.commit(s"b$i", triples((s"u$i", "mentions", s"e$i", 1L)))
+    // a crashed earlier compaction: zcompact data written, manifest never
+    // renamed, and the retry's target set shifted so the id differs
+    triples(("ux", "mentions", "ex", 1L)).write
+      .parquet(s"$root/data/batch=zcompact-deadbeef")
+    // an in-flight INGEST batch (no manifest yet) must not be touched
+    triples(("uy", "mentions", "ey", 1L)).write
+      .parquet(s"$root/data/batch=stream-00000042")
+    store.compact()
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/data/batch=zcompact-deadbeef")),
+      "orphan zcompact dir must be swept")
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/data/batch=stream-00000042")),
+      "unmanifested non-staging dirs are a writer's in-flight state — keep")
+    assert(store.committed().count() === 3L)
+  }
+
   test("manifest carries per-partition lineage and per-pred metrics") {
     val root = tmp()
     val store = new TripleStore(root, spark)
