@@ -637,6 +637,37 @@ object SparkEntry {
         .select(col("subj").cast("long").as("doc_id"), col("pred"), col("obj"))
         .orderBy(col("doc_id"), col("pred"))
     }),
+    "q45_retrain_job" -> ((s, d) => {
+      // the composed retrain entry point (reference train pipeline + DAG
+      // 02): a pre-existing active run1 with committed assignments, then
+      // TrainJob = train → register(+silhouette) → save artifacts →
+      // activate → assign under run2. The oracle restates the FULL
+      // post-retrain state: registry activation flip + both runs'
+      // run-scoped assignments (run1's stay committed — PK (id_news,
+      // id_run) semantics). Assignment fns are SQL-expressible; the
+      // REAL distributed training still runs (its params are registered,
+      // value-pinned in TrainJobSpec rather than SQL).
+      val root = scratchDir("graft_q45_")
+      val store = new TripleStore(s"$root/store", s)
+      val reg = new graft.pipeline.RunRegistry(s"$root/registry", s)
+      val pages = docs(s, d).select(
+        col("doc_id").cast("string").as("url"), col("lang"),
+        col("text").as("clean"))
+      def assign(m: Int)(in: DataFrame): DataFrame =
+        in.select(col("url"), col("lang"),
+          pmod(col("url").cast("long"), lit(m)).cast("int").as("id_topic"))
+      reg.register("run1", "topics_detector", 512, 8, 6, 0.0)
+      reg.activate("run1")
+      KgPipeline.assignTopicsIncremental(store, "b1", "run1", pages, assign(5))
+      graft.pipeline.TrainJob.run(store, reg, "run2", "b2", pages,
+        modelDir = Some(s"$root/model"), assignOverride = Some(assign(3)))
+      val regRows = reg.table().select(
+        col("id_run").as("subj"), lit("is_active").as("pred"),
+        col("is_active").cast("string").as("obj"))
+      store.committed().select(col("subj"), col("pred"), col("obj"))
+        .unionByName(regRows)
+        .orderBy(col("subj"), col("pred"))
+    }),
     "q44_representative_texts" -> ((s, _) => {
       // M5 naming input (round 3): top-3 nearest-to-centroid docs WITH
       // their prompt-truncated texts — the reference LLM prompt's second
@@ -1211,6 +1242,22 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id, 'processedIn:run2', 'b3' FROM documents)
          SELECT doc_id, pred, obj FROM t ORDER BY doc_id, pred""",
+    "q45_retrain_job" ->
+      """WITH t AS (
+           SELECT CAST(doc_id AS VARCHAR) AS subj, 'hasTopic:run1' AS pred,
+                  'topic_' || CAST(doc_id % 5 AS VARCHAR) AS obj FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS VARCHAR), 'processedIn:run1', 'b1' FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS VARCHAR), 'hasTopic:run2',
+                  'topic_' || CAST(doc_id % 3 AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS VARCHAR), 'processedIn:run2', 'b2' FROM documents
+           UNION ALL
+           SELECT 'run1', 'is_active', 'false'
+           UNION ALL
+           SELECT 'run2', 'is_active', 'true')
+         SELECT subj, pred, obj FROM t ORDER BY subj, pred""",
     "q30_text_assembly" ->
       """WITH t AS (SELECT c_custkey,
                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END AS title,
