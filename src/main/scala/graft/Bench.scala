@@ -10,9 +10,27 @@ import org.apache.spark.sql.SparkSession
   * work (regex chains, vector math, window sorts), not just row counting.
   */
 object Bench {
+
+  /** CPU-steal jiffies from /proc/stat (field 9 of the aggregate cpu
+    * line; USER_HZ = 100). −1 when unreadable (non-Linux).
+    */
+  private def stealJiffies(): Long =
+    try {
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+        .get(0).trim.split("\\s+") match {
+          case a if a.length > 8 && a(0) == "cpu" => a(8).toLong
+          case _ => -1L
+        }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // co-tenant load probe (VERDICT r03 #6): record average STOLEN cores
+    // over the whole run so a loaded-window capture (like the 1.38×
+    // BENCH_r03) is self-describing instead of a mystery regression
+    val steal0 = stealJiffies()
+    val tWall0 = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,7 +69,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.result().map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$idxBuildSec,"failed":$failedJson,"sf":"$sfDir"}""")
+    val steal1 = stealJiffies()
+    val wallSec = (System.nanoTime() - tWall0) / 1e9
+    val stealCores =
+      if (steal0 < 0 || steal1 < 0 || wallSec <= 0) -1.0
+      else math.rint((steal1 - steal0) / 100.0 / wallSec * 100) / 100
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$idxBuildSec,"steal_cores":$stealCores,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

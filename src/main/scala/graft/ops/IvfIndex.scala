@@ -107,4 +107,58 @@ object IvfIndex {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Batched probe (the [[graft.ops.LshIndex.topKBatch]] sibling): each
+    * query routes to its `nprobe` nearest cells in one narrow pass
+    * (keys-only (qid, cell) rows — query vectors are fetched later by
+    * qid), candidates come from ONE shuffle join against the
+    * cell-partitioned index, and ranking is per-query. For millions of
+    * queries every cell is probed by someone, so the join replaces
+    * per-query partition pruning at no loss; single ad-hoc probes should
+    * keep using [[topK]], which prunes to nprobe directories.
+    *
+    * Output: (queryIdCol, idCol, cosine, rnk), rnk ≤ k, ordering
+    * identical to [[topK]].
+    */
+  def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int = 10, nprobe: Int = 4,
+      excludeSelf: Boolean = false,
+      queryIdCol: String = "query_id", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val np = nprobe
+    val qvs = queries.select(col(queryIdCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qcells = qvs.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.flatMap { case (qid, qv) =>
+          cents.zipWithIndex.map { case (c, ci) =>
+            var d = 0.0
+            var j = 0
+            while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+            (d, ci)
+          }.sortBy { case (d, ci) => (d, ci) }
+            .take(np).iterator.map { case (_, ci) => (qid, ci) }
+        }
+      }.toDF("qid", "cell")
+    val index = spark.read.parquet(dir).select($"cell", $"id", $"v")
+    val cands0 = qcells.join(index, Seq("cell")).select($"qid", $"id", $"v")
+    val cands = if (excludeSelf) cands0.filter($"qid" =!= $"id") else cands0
+    val scored = cands
+      .join(qvs, Seq("qid"))
+      .select($"qid", $"id", $"v", $"qv")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (qid, id, v, qv) => (qid, id, Similarity.cosine(v, qv)) }
+      .toDF("qid", "id", "c")
+      .withColumn("cosine", round($"c", 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cosine".desc, $"id".asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid".as(queryIdCol), $"id".as(idCol), $"cosine", $"rnk")
+  }
 }

@@ -179,4 +179,53 @@ object LshIndex {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Batched probe — the training-pipeline query shape ([[topK]] is one
+    * driver round-trip per query; a corpus-wide kNN pass probes MILLIONS
+    * of queries). The batch path trades per-query partition pruning for
+    * one distributed plan: keys-only query signatures join the keys table
+    * on (tbl, key) — at millions of queries every partition is touched
+    * anyway, so a shuffle join IS the pruned plan — then candidate
+    * (query, id) pairs fetch the two vectors by id/qid joins (vectors
+    * never ride the signature explode, same discipline as the index
+    * layout) and rank per query. Use [[topK]] for ad-hoc single probes:
+    * its driver-routed candidate set prunes to ≤ tables key-buckets.
+    *
+    * Output: (queryIdCol, idCol, cosine, rnk) with rnk ≤ k per query,
+    * ordering identical to [[topK]] (rounded cosine DESC, id ASC) — a
+    * spec pins batch ≡ per-query on the fixture index.
+    *
+    * `excludeSelf` drops id == query id rows BEFORE ranking (the corpus
+    * self-kNN case, where each query IS an indexed vector).
+    */
+  def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, p: Params = Params(),
+      excludeSelf: Boolean = false,
+      queryIdCol: String = "query_id", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val qvs = queries.select(col(queryIdCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qsigs = signatures(queries, p, queryIdCol, vecCol)
+      .withColumnRenamed("id", "qid")
+    val keys = spark.read.parquet(s"$dir/keys")
+    val cands0 = qsigs.join(keys, Seq("tbl", "key"))
+      .select($"qid", $"id").distinct()
+    val cands = if (excludeSelf) cands0.filter($"qid" =!= $"id") else cands0
+    val vectors = spark.read.parquet(s"$dir/vectors").select($"id", $"v")
+    val scored = cands
+      .join(vectors, Seq("id"))
+      .join(qvs, Seq("qid"))
+      .select($"qid", $"id", $"v", $"qv")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (qid, id, v, qv) => (qid, id, Similarity.cosine(v, qv)) }
+      .toDF("qid", "id", "c")
+      .withColumn("cosine", round($"c", 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cosine".desc, $"id".asc)
+    scored
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid".as(queryIdCol), $"id".as(idCol), $"cosine", $"rnk")
+  }
 }

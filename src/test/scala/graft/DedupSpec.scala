@@ -221,6 +221,50 @@ class DedupSpec extends SparkSpec {
     assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters:"))
   }
 
+  test("batched ANN probe ≡ per-query probes (LSH and IVF fixture indexes)") {
+    import spark.implicits._
+    val dim = 16
+    val rng = new java.util.Random(13)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val queryIds = Seq(0L, 7L, 42L)
+    val queries = rows.filter(r => queryIds.contains(r._1))
+      .toDF("query_id", "embedding")
+
+    val p = graft.ops.LshIndex.Params(bits = 6, tables = 4)
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_lshbatch_").toString
+    graft.ops.LshIndex.build(df, lshDir, p)
+    val lshBatch = graft.ops.LshIndex.topKBatch(spark, lshDir, queries,
+        k = 5, p = p, excludeSelf = true)
+      .select($"query_id", $"vec_id", $"cosine").as[(Long, Long, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    for (qid <- queryIds) {
+      val qv = rows(qid.toInt)._2.map(_.toDouble)
+      val single = graft.ops.LshIndex.topK(spark, lshDir, qv, k = 5, p = p,
+          excludeId = Some(qid))
+        .as[(Long, Double)].collect().map { case (id, c) => (qid, id, c) }
+        .sortBy(_._2).toSeq
+      assert(lshBatch(qid) === single, s"LSH batch != single for qid=$qid")
+    }
+
+    val cents = graft.ops.IvfIndex.train(df, graft.ops.IvfIndex.Params(cells = 8))
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ivfbatch_").toString
+    graft.ops.IvfIndex.build(df, ivfDir, cents)
+    val ivfBatch = graft.ops.IvfIndex.topKBatch(spark, ivfDir, queries, cents,
+        k = 5, nprobe = 3, excludeSelf = true)
+      .select($"query_id", $"vec_id", $"cosine").as[(Long, Long, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    for (qid <- queryIds) {
+      val qv = rows(qid.toInt)._2.map(_.toDouble)
+      val single = graft.ops.IvfIndex.topK(spark, ivfDir, qv, cents, k = 5,
+          nprobe = 3, excludeId = Some(qid))
+        .as[(Long, Double)].collect().map { case (id, c) => (qid, id, c) }
+        .sortBy(_._2).toSeq
+      assert(ivfBatch(qid) === single, s"IVF batch != single for qid=$qid")
+    }
+  }
+
   test("IVF quantizer sample is unbiased under skewed file order") {
     import spark.implicits._
     // three well-separated clusters laid out CLUSTER-MAJOR in one
