@@ -37,13 +37,28 @@ object Dedup {
     * contract as `maxShingleDf` in [[charShingleJaccard]]); hub pairs
     * still pass downstream verification, so no false positives appear.
     *
-    * `banded` must carry the band-key columns `bandCols` plus a long `id`;
-    * output is distinct (id_a, id_b) with id_a < id_b. Both the size
+    * SIZING RULE (the cap targets DUPLICATE pathology, not key-space
+    * saturation): `maxBucket` must sit well ABOVE the expected uniform
+    * bucket occupancy n / 2^keyBits — a bucket that is "hot" merely
+    * because the corpus outgrew the key space is full of DISTINCT
+    * near-neighbors whose pairs the star would wrongly drop. At 100 TB
+    * scale the key space is the knob: size bits ≈ log2(n / targetOcc)
+    * (e.g. 10^10 vectors at target occupancy ~100 wants ~27-bit keys),
+    * then set maxBucket 10-100× targetOcc so only genuine dup clusters
+    * trip it. The defaults (12-bit embedding keys, maxBucket=1000) are
+    * sized for corpora ≲ 10^6 per table.
+    *
+    * `banded` must carry the band-key columns `bandCols` plus a long `id`
+    * (and optionally ONE small `payload` column — e.g. simhash's 64-bit
+    * signature — carried through to the output as `p_a`/`p_b`, saving the
+    * two id-joins a later fetch would cost; never carry vectors). Output
+    * is distinct (id_a, id_b[, p_a, p_b]) with id_a < id_b. Both the size
     * count and the self-join shuffle on the same band key, so the cap
     * adds one map-side-combined aggregation, not a new shuffle shape.
     */
   private[graft] def cappedPairs(
-      banded: DataFrame, bandCols: Seq[String], maxBucket: Int): DataFrame = {
+      banded: DataFrame, bandCols: Seq[String], maxBucket: Int,
+      payload: Option[String] = None): DataFrame = {
     require(maxBucket >= 1, s"maxBucket=$maxBucket must be >= 1")
     val spark = banded.sparkSession
     import spark.implicits._
@@ -53,13 +68,20 @@ object Dedup {
     val small = withSz.filter($"_bsz" <= maxBucket).drop("_bsz")
     val joinCond = bandCols.map(c => col(s"l.$c") === col(s"r.$c"))
       .reduce(_ && _) && $"l.id" < $"r.id"
+    val smallCols = Seq($"l.id".as("id_a"), $"r.id".as("id_b")) ++
+      payload.toSeq.flatMap(p => Seq(col(s"l.$p").as("p_a"), col(s"r.$p").as("p_b")))
     val smallPairs = small.as("l").join(small.as("r"), joinCond)
-      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      .select(smallCols: _*)
     val hot = withSz.filter($"_bsz" > maxBucket).drop("_bsz")
-    val hubs = hot.groupBy(keys: _*).agg(min($"id").as("_hub"))
+    // hub = the bucket's min id; min over (id, payload) structs orders by
+    // id first, so the hub's payload rides along without a second agg
+    val hubs = hot.groupBy(keys: _*).agg(
+      min(struct(($"id" +: payload.toSeq.map(col)): _*)).as("_hub"))
+    val hotCols = Seq($"_hub.id".as("id_a"), $"id".as("id_b")) ++
+      payload.toSeq.flatMap(p => Seq(col(s"_hub.$p").as("p_a"), col(p).as("p_b")))
     val hotPairs = hot.join(hubs, bandCols)
-      .filter($"id" =!= $"_hub")
-      .select($"_hub".as("id_a"), $"id".as("id_b"))
+      .filter($"id" =!= $"_hub.id")
+      .select(hotCols: _*)
     smallPairs.unionByName(hotPairs).distinct()
   }
 
@@ -264,17 +286,17 @@ object Dedup {
       .map { case (id, text) =>
         (id, simhash((if (text == null) "" else text).split(" ").filter(_.nonEmpty))) }
       .toDF("id", "sim")
-    // the banded rows carry ONLY (band, key, id) through the capped
-    // self-join; the two 64-bit signatures are fetched per surviving
-    // candidate pair from the (id, sim) table — two longs per row
-    val banded = sigs.select($"id",
+    // the 64-bit signature rides the band rows as the cappedPairs payload
+    // (ONE long — cheap on the wire, and it saves recomputing the whole
+    // signature map twice more for id-joins; contrast embeddingNearDup,
+    // where the payload would be a full vector and MUST be fetched late)
+    val banded = sigs.select($"id", $"sim",
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), ($"sim".bitwiseAND(lit(mask(b)))).as("key"))): _*)).as("bk"))
-      .select($"bk.band", $"bk.key", $"id")
-    val cands = cappedPairs(banded, Seq("band", "key"), maxBucket)
+      .select($"bk.band", $"bk.key", $"id", $"sim")
+    val cands = cappedPairs(banded, Seq("band", "key"), maxBucket, payload = Some("sim"))
     cands
-      .join(sigs.select($"id".as("id_a"), $"sim".as("sim_a")), Seq("id_a"))
-      .join(sigs.select($"id".as("id_b"), $"sim".as("sim_b")), Seq("id_b"))
+      .withColumnRenamed("p_a", "sim_a").withColumnRenamed("p_b", "sim_b")
       .withColumn("hamming", bit_count($"sim_a".bitwiseXOR($"sim_b")))
       .filter($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")

@@ -147,18 +147,6 @@ object IvfIndex {
     val index = spark.read.parquet(dir).select($"cell", $"id", $"v")
     val cands0 = qcells.join(index, Seq("cell")).select($"qid", $"id", $"v")
     val cands = if (excludeSelf) cands0.filter($"qid" =!= $"id") else cands0
-    val scored = cands
-      .join(qvs, Seq("qid"))
-      .select($"qid", $"id", $"v", $"qv")
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (qid, id, v, qv) => (qid, id, Similarity.cosine(v, qv)) }
-      .toDF("qid", "id", "c")
-      .withColumn("cosine", round($"c", 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"cosine".desc, $"id".asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"qid".as(queryIdCol), $"id".as(idCol), $"cosine", $"rnk")
+    Similarity.rankPerQuery(cands, qvs, k, queryIdCol, idCol)
   }
 }

@@ -204,28 +204,30 @@ object LshIndex {
       queryIdCol: String = "query_id", vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     import spark.implicits._
+    // single projected query plan: the dim probe, the signature explode
+    // and the qv fetch all derive from `qvs`, not from three separate
+    // reads of the caller's (possibly expensive) queries plan
     val qvs = queries.select(col(queryIdCol).cast("long").as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
-    val qsigs = signatures(queries, p, queryIdCol, vecCol)
-      .withColumnRenamed("id", "qid")
+    val dim = qvs.select(size($"qv")).head().getInt(0)
+    val planes = Similarity.randomPlanes(p.tables * p.bits, dim, p.seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    val tables = p.tables
+    val bits = p.bits
+    val qsigs = qvs.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val pl = bc.value
+        it.flatMap { case (qid, qv) =>
+          (0 until tables).iterator.map(t =>
+            (t, Similarity.lshKey(pl, qv, t, bits), qid))
+        }
+      }.toDF("tbl", "key", "qid")
     val keys = spark.read.parquet(s"$dir/keys")
     val cands0 = qsigs.join(keys, Seq("tbl", "key"))
       .select($"qid", $"id").distinct()
     val cands = if (excludeSelf) cands0.filter($"qid" =!= $"id") else cands0
     val vectors = spark.read.parquet(s"$dir/vectors").select($"id", $"v")
-    val scored = cands
-      .join(vectors, Seq("id"))
-      .join(qvs, Seq("qid"))
-      .select($"qid", $"id", $"v", $"qv")
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (qid, id, v, qv) => (qid, id, Similarity.cosine(v, qv)) }
-      .toDF("qid", "id", "c")
-      .withColumn("cosine", round($"c", 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"cosine".desc, $"id".asc)
-    scored
-      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
-      .filter($"rnk" <= k)
-      .select($"qid".as(queryIdCol), $"id".as(idCol), $"cosine", $"rnk")
+    Similarity.rankPerQuery(cands.join(vectors, Seq("id")), qvs, k,
+      queryIdCol, idCol)
   }
 }

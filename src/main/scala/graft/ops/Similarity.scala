@@ -74,6 +74,31 @@ object Similarity {
   /** Brute-force cosine top-k for one query vector: scan all rows, rank by
     * rounded cosine (round-then-rank keeps oracle ordering stable), take k.
     */
+  /** Shared tail of the batched ANN probes ([[LshIndex.topKBatch]] /
+    * [[IvfIndex.topKBatch]]): score candidate (qid, id, v) rows against
+    * the (qid, qv) query vectors and keep the top k per query. ONE place
+    * owns the ordering contract — rounded cosine DESC, id ASC, identical
+    * to the single-probe paths.
+    */
+  private[ops] def rankPerQuery(
+      cands: DataFrame, qvs: DataFrame, k: Int,
+      queryIdCol: String, idCol: String): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cosine".desc, $"id".asc)
+    cands
+      .join(qvs, Seq("qid"))
+      .select($"qid", $"id", $"v", $"qv")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (qid, id, v, qv) => (qid, id, cosine(v, qv)) }
+      .toDF("qid", "id", "c")
+      .withColumn("cosine", round($"c", 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"qid".as(queryIdCol), $"id".as(idCol), $"cosine", $"rnk")
+  }
+
   def bruteForceTopK(
       embeddings: DataFrame,
       query: Array[Double],

@@ -38,10 +38,15 @@ import graft.topics.{DistributedTrainer, ModelIO, TopicModelParams}
   */
 object TrainJob {
 
+  /** @param assignedPages pages assigned under the new run by THIS call
+    *                       (0 on a retry whose frontier is already
+    *                       committed); each page commits two triples —
+    *                       the assignment and its processedIn marker.
+    */
   final case class Result(
       idRun: String,
       silhouette: Double,
-      assigned: Long,
+      assignedPages: Long,
       params: TopicModelParams)
 
   def run(
@@ -68,8 +73,10 @@ object TrainJob {
     // 5) assignment under the new run id (fresh frontier ⇒ full pass)
     val bc = spark.sparkContext.broadcast(params)
     val assign = assignOverride.getOrElse(KgPipeline.modelAssign(bc)(_))
-    val assigned = KgPipeline.assignTopicsIncremental(
+    // assignTopicsIncremental returns committed TRIPLES (assignment +
+    // marker per page) — halve to report pages
+    val committed = KgPipeline.assignTopicsIncremental(
       store, batchId, idRun, pagesWithClean, assign)
-    Result(idRun, silhouette, assigned, params)
+    Result(idRun, silhouette, committed / 2, params)
   }
 }

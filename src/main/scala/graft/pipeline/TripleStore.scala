@@ -138,6 +138,20 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * re-read). Empty batches commit a rows:0 manifest. Returns total rows.
     */
   def commit(batch: String, triples: DataFrame, supersedes: Seq[String] = Nil): Long = {
+    // the z* id namespace is RESERVED for internal compaction/rewrite
+    // staging: sweepLingeringDead() deletes unmanifested batch=z* data
+    // dirs, so an external writer using a z id could have its in-flight
+    // (data-written, manifest-pending) batch swept by a concurrent
+    // maintenance call — enforce the convention instead of trusting it
+    require(!batch.startsWith("z") ||
+        batch.startsWith("zcompact-") || batch.startsWith("zrewrite-"),
+      s"batch id '$batch' uses the reserved internal staging prefix 'z'; " +
+        "pick an id not starting with 'z'")
+    commitImpl(batch, triples, supersedes)
+  }
+
+  private def commitImpl(batch: String, triples: DataFrame,
+      supersedes: Seq[String]): Long = {
     // a superseding manifest kills a batch id FOREVER (and the data write
     // below uses REPLACE semantics): recommitting a dead id — e.g. a
     // stream restarted with a fresh checkpoint reusing stream-00000001
@@ -239,7 +253,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
           finally reader.close()
         }
       }, 10.minutes)
-    } finally pool.shutdown()
+    } finally pool.shutdownNow() // interrupt stragglers: a hung filesystem
+                                 // must not pin non-daemon threads forever
   }
 
   /** All committed triples (subj, pred, obj, weight, lang, bucket, batch —
@@ -331,7 +346,11 @@ final class TripleStore(val root: String, spark: SparkSession) {
         // size the bloom from a cheap batch count (the marker side is
         // ≥ bloomThreshold rows; one narrow pass over the batch is noise)
         // instead of a fixed 10M-slot ~9 MB broadcast whose fpp also
-        // degrades for batches larger than the hardcoded capacity
+        // degrades for batches larger than the hardcoded capacity. The
+        // count IS a third evaluation of the pages plan (count + bloom +
+        // anti-join) — accepted: callers with an expensive page plan
+        // should persist it first, which the determinism precondition
+        // above already tells them to do.
         val expected = math.max(pages.count(), 1024L)
         val bf = spark.sparkContext.broadcast(
           pages.stat.bloomFilter(urlCol, expected, 0.03))
@@ -368,12 +387,29 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // existence check through the Hadoop FileSystem API (as
     // footerRowCounts does) — a java.nio probe is always false on
     // non-local roots (hdfs/s3), which would silently return an empty
-    // marker set and make unprocessed() reprocess everything
+    // marker set and make unprocessed() reprocess everything. Probes run
+    // CONCURRENTLY: on an object store each exists() is an RPC (~tens of
+    // ms), and a pre-compaction stream can hold ~100 live batches — a
+    // serial pass would add seconds of driver latency per micro-batch.
     val conf = spark.sessionState.newHadoopConf()
-    val dirs = nonEmptyBatches().map(b => s"${dataDir(b)}/pred=$escaped")
-      .filter { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(conf).exists(p)
+    val candidates = nonEmptyBatches().map(b => s"${dataDir(b)}/pred=$escaped")
+    val dirs =
+      if (candidates.isEmpty) Seq.empty[String]
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, candidates.size))
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(Future.traverse(candidates) { d =>
+            Future {
+              val p = new org.apache.hadoop.fs.Path(d)
+              if (p.getFileSystem(conf).exists(p)) Some(d) else None
+            }
+          }, 10.minutes).flatten
+        } finally pool.shutdownNow()
       }
     if (dirs.isEmpty) emptyStored()
     else spark.read

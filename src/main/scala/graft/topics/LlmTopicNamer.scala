@@ -53,7 +53,11 @@ final class LlmTopicNamer(
     parsed match {
       case Some(names) =>
         updateCache(names)
-        names.getOrElse(idTopic.toString, s"Topic $idTopic")
+        // a well-formed response that doesn't name THIS topic degrades
+        // through the same chain as a malformed one: cache, then Topic N
+        names.get(idTopic.toString)
+          .orElse(readCache().get(idTopic.toString))
+          .getOrElse(s"Topic $idTopic")
       case None =>
         readCache().get(idTopic.toString).getOrElse(s"Topic $idTopic")
     }

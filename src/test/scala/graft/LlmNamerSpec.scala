@@ -49,6 +49,10 @@ class LlmNamerSpec extends AnyFunSuite {
     assert(bad.name(3, Seq("goal"), Seq("text")) === "Cached Sports")
     // topic absent from the cache → deterministic fallback
     assert(bad.name(9, Seq("goal"), Seq("text")) === "Topic 9")
+    // a WELL-FORMED response that names the wrong topic degrades through
+    // the same chain: cache first, not straight to Topic N
+    val wrongKey = new LlmTopicNamer(new Recorder("""{"99": "Other"}"""), Some(cache))
+    assert(wrongKey.name(3, Seq("goal"), Seq("text")) === "Cached Sports")
     // no cache configured at all
     val none = new LlmTopicNamer(new Recorder("not json"), None)
     assert(none.name(1, Seq("a"), Seq("b")) === "Topic 1")

@@ -38,7 +38,7 @@ class TrainJobSpec extends SparkSpec {
     val cfg = DistributedTrainer.Config(vocabSize = 64, nComponents = 4, k = 3)
     val res = TrainJob.run(store, reg, "run2", "b2", pages, cfg,
       modelDir = Some(s"$root/model"))
-    assert(res.assigned > 0L)
+    assert(res.assignedPages === 120L)
     assert(res.silhouette >= -1.0 && res.silhouette <= 1.0)
 
     // registry: both runs present, exactly the new one active, the
@@ -75,7 +75,7 @@ class TrainJobSpec extends SparkSpec {
     // retry with the frontier already committed: no re-assignment, and
     // activation stays a single active run
     val res2 = TrainJob.run(store, reg, "run2", "b3", pages, cfg)
-    assert(res2.assigned === 0L)
+    assert(res2.assignedPages === 0L)
     assert(reg.active() === Some("run2"))
     assert(reg.table().count() === 2L)
   }
