@@ -88,6 +88,17 @@ class DedupSpec extends SparkSpec {
     assert(nEmb === 999L, s"capped embedding candidates: $nEmb")
   }
 
+  test("recommendedBits: key space scales with corpus so the cap stays a dup-only guard") {
+    assert(Dedup.recommendedBits(500L) === 8)                 // floor
+    assert(Dedup.recommendedBits(1000000L, 100) === 14)       // 10^6/2^14 ≈ 61
+    assert(Dedup.recommendedBits(10000000000L, 100) === 27)   // 10^10 → 27 bits
+    assert(Dedup.recommendedBits(0L) === 8)
+    // at the recommended bits, expected occupancy ≤ target ≪ DefaultMaxBucket
+    val n = 10000000000L
+    val occ = n.toDouble / (1L << Dedup.recommendedBits(n, 100))
+    assert(occ <= 100.0 && occ * 10 < Dedup.DefaultMaxBucket)
+  }
+
   test("hot-bucket cap above the bucket size leaves candidates unchanged (full self-join)") {
     import spark.implicits._
     val dup = (0L until 30L).map(i => (i, base)).toDF("doc_id", "text")
