@@ -38,6 +38,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STAGE_METRICS=1: per-stage run/cpu/gc lines (same
+    // listener as ScalingBench — the round-2 cache-recompute bug hunter)
+    if (sys.env.contains("SPARK_GRAFT_STAGE_METRICS")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val m = i.taskMetrics
+            System.err.println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d " +
+              f"run=${m.executorRunTime / 1000.0}%7.1fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%7.1fs " +
+              f"gc=${m.jvmGCTime / 1000.0}%5.1fs  ${i.name.take(60)}")
+          }
+        })
+    }
     // force the fixture model to train OUTSIDE the timed region (it is a
     // frozen artifact in production — cf. reference model.py:54-68)
     SparkEntry.fixtureModel
@@ -54,7 +70,13 @@ object Bench {
       .select(xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")))
       .groupBy().count().write.format("noop").mode("overwrite").save()
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q41_...,q45_... times a subset (iteration tooling;
+    // the driver never sets it, so round captures always run everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case scala.util.control.NonFatal(e) =>

@@ -357,7 +357,11 @@ final class TripleStore(val root: String, spark: SparkSession) {
         val mightContain = udf((u: String) => u != null && bf.value.mightContain(u))
         done0.filter(mightContain(col(urlCol)))
       }
-    pages.join(done.distinct(), Seq(urlCol), "left_anti")
+    // no distinct on the marker side: left_anti is insensitive to right
+    // duplicates (markers are unique per (url, pred) by construction
+    // anyway — this anti-join is what enforces it), and the distinct was
+    // a whole extra aggregate exchange on the BIG side of the join
+    pages.join(done, Seq(urlCol), "left_anti")
   }
 
   private val PredsObjRe = """"preds":\{([^}]*)\}""".r
