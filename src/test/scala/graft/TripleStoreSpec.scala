@@ -156,6 +156,19 @@ class TripleStoreSpec extends SparkSpec {
       s"discovery touched non-matching partitions: ${files.mkString(", ")}")
   }
 
+  test("unprocessed is duplicate-marker tolerant (left_anti needs no marker distinct)") {
+    import spark.implicits._
+    val store = new TripleStore(tmp(), spark)
+    // a crash-retry window can double-commit a page's marker in two
+    // batches; the frontier read must neither fail nor resurrect the page
+    store.commit("b1", triples(("u1", "processedIn", "b1", 1L)))
+    store.commit("b2", triples(("u1", "processedIn", "b2", 1L), ("u2", "processedIn", "b2", 1L)))
+    val pages = Seq("u1", "u2", "u3").toDF("url")
+    val todo = store.unprocessed(pages, "processedIn")
+      .select("url").as[String].collect().toSeq
+    assert(todo === Seq("u3"))
+  }
+
   test("bloom-pruned anti-join equals the plain path; predRowCount reads manifests only") {
     import spark.implicits._
     val store = new TripleStore(tmp(), spark)
