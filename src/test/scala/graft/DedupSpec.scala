@@ -88,6 +88,37 @@ class DedupSpec extends SparkSpec {
     assert(nEmb === 999L, s"capped embedding candidates: $nEmb")
   }
 
+  test("capping invariant over random corpora: capped candidates ⊆ uncapped; capped clusters refine uncapped") {
+    import spark.implicits._
+    // star pairs are co-bucket pairs, so the capped candidate set is
+    // always a SUBSET of the uncapped one — capping can only split
+    // clusters (drop edges), never merge or invent them
+    for (seed <- 1 to 4) {
+      val rng = new java.util.Random(seed)
+      val groups = 4 + rng.nextInt(3)
+      val docsSeq = (0 until 30).map { i =>
+        val g = rng.nextInt(groups)
+        val body = s"group $g shared body text repeated for near duplication " * 3
+        val tail = if (rng.nextBoolean()) "extra suffix token" else ""
+        (i.toLong, s"$body$tail")
+      }
+      val df = docsSeq.toDF("doc_id", "text")
+      val p = Dedup.MinHashParams()
+      val capped = Dedup.minHashCandidates(df, p, "doc_id", "text", maxBucket = 3)
+        .as[(Long, Long)].collect().toSet
+      val uncapped = Dedup.minHashCandidates(df, p, "doc_id", "text", maxBucket = 100000)
+        .as[(Long, Long)].collect().toSet
+      assert(capped.subsetOf(uncapped), s"seed=$seed: capped ⊄ uncapped")
+      val cc = Dedup.nearDupClusters(df, 0.8, p, maxBucket = 3)
+        .as[(Long, Long)].collect().toMap
+      val cu = Dedup.nearDupClusters(df, 0.8, p, maxBucket = 100000)
+        .as[(Long, Long)].collect().toMap
+      // refinement: two docs in one capped cluster share an uncapped one
+      for ((a, ca) <- cc; (b, cb) <- cc if ca == cb)
+        assert(cu(a) === cu(b), s"seed=$seed: capped cluster spans uncapped clusters")
+    }
+  }
+
   test("recommendedBits: key space scales with corpus so the cap stays a dup-only guard") {
     assert(Dedup.recommendedBits(500L) === 8)                 // floor
     assert(Dedup.recommendedBits(1000000L, 100) === 14)       // 10^6/2^14 ≈ 61
