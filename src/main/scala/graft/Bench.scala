@@ -38,22 +38,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_STAGE_METRICS=1: per-stage run/cpu/gc lines (same
-    // listener as ScalingBench — the round-2 cache-recompute bug hunter)
-    if (sys.env.contains("SPARK_GRAFT_STAGE_METRICS")) {
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-            val i = sc.stageInfo
-            val m = i.taskMetrics
-            System.err.println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d " +
-              f"run=${m.executorRunTime / 1000.0}%7.1fs " +
-              f"cpu=${m.executorCpuTime / 1e9}%7.1fs " +
-              f"gc=${m.jvmGCTime / 1000.0}%5.1fs  ${i.name.take(60)}")
-          }
-        })
-    }
+    // SPARK_GRAFT_STAGE_METRICS=1: per-stage run/cpu/gc lines
+    graft.bench.StageMetrics.installIfRequested(spark.sparkContext)
     // force the fixture model to train OUTSIDE the timed region (it is a
     // frozen artifact in production — cf. reference model.py:54-68)
     SparkEntry.fixtureModel
@@ -71,11 +57,19 @@ object Bench {
       .groupBy().count().write.format("noop").mode("overwrite").save()
     val failed = Seq.newBuilder[String]
     // SPARK_GRAFT_ONLY=q41_...,q45_... times a subset (iteration tooling;
-    // the driver never sets it, so round captures always run everything)
+    // the driver never sets it, so round captures always run everything).
+    // A subset run must be SELF-DESCRIBING (like steal_cores): unknown
+    // names fail fast, and the JSON carries an "only" count so a stray
+    // exported variable can never masquerade as a full-capture speedup.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val onlyJson = only.map(n => s""","only":${n.size}""").getOrElse("")
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -96,7 +90,7 @@ object Bench {
     val stealCores =
       if (steal0 < 0 || steal1 < 0 || wallSec <= 0) -1.0
       else math.rint((steal1 - steal0) / 100.0 / wallSec * 100) / 100
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$idxBuildSec,"steal_cores":$stealCores,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$idxBuildSec,"steal_cores":$stealCores$onlyJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -101,20 +101,7 @@ object ScalingBench {
       val c = cores.toInt
       SparkEntry.fixtureModel // train the frozen artifact before timing
       val s = session(c)
-      if (sys.env.contains("SPARK_GRAFT_STAGE_METRICS")) {
-        s.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onStageCompleted(
-                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-              val i = sc.stageInfo
-              val m = i.taskMetrics
-              println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d " +
-                f"run=${m.executorRunTime / 1000.0}%8.1fs " +
-                f"cpu=${m.executorCpuTime / 1e9}%8.1fs " +
-                f"gc=${m.jvmGCTime / 1000.0}%7.1fs  ${i.name.take(60)}")
-            }
-          })
-      }
+      graft.bench.StageMetrics.installIfRequested(s.sparkContext, System.out)
       // untimed warm-up at small scale: JIT, codegen, parquet reader init
       val warm = Files.createTempDirectory("graft_scaling_warm_").toString
       PageGen.pages(s, 2000L).toDF().write.mode("overwrite").parquet(warm)

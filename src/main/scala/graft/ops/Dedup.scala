@@ -35,8 +35,12 @@ object Dedup {
     */
   def recommendedBits(n: Long, targetOccupancy: Int = 100, minBits: Int = 8): Int = {
     require(n >= 0 && targetOccupancy >= 1)
-    val needed = math.ceil(
-      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt
+    // integer math: Math.log at exact power-of-two ratios returns
+    // 29.000000000000004-style values whose ceil over-provisions a bit
+    val ratio = if (n == 0) 1L else (n + targetOccupancy - 1) / targetOccupancy
+    val needed =
+      if (ratio <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1)
     math.min(62, math.max(minBits, needed))
   }
 
