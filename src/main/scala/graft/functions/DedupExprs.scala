@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Dedup
+
+/** Static entry points referenced from generated code (the codegen calls
+  * one JVM method per row — no Row/encoder boundary, so the whole dedup
+  * signature stage stays inside WholeStageCodegen instead of paying a
+  * SerializeFromObject/DeserializeToObject pair around a typed map).
+  */
+object DedupSigImpl {
+
+  /** 64-bit SimHash of the whitespace-token multiset; null/empty → 0L
+    * (the empty-token vote vector signs to zero), matching the previous
+    * typed path's `null → ""` contract.
+    */
+  def simhash(u: UTF8String): Long =
+    if (u == null) 0L
+    else Dedup.simhash(u.toString.split(" ").filter(_.nonEmpty))
+
+  /** MinHash band hashes (the LSH bucket keys): signature → per-band
+    * Horner fold, identical constants to the previous typed path.
+    */
+  def minhashBands(u: UTF8String, p: Dedup.MinHashParams): ArrayData = {
+    val toks =
+      (if (u == null) "" else u.toString).split(" ").filter(_.nonEmpty)
+    val sig = Dedup.signature(toks, p)
+    val out = new Array[Long](p.bands)
+    var b = 0
+    while (b < p.bands) {
+      var h = 1125899906842597L
+      var r = 0
+      while (r < p.rowsPerBand) { h = h * 31 + sig(b * p.rowsPerBand + r); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `simhash64(text)` — codegen scalar for [[Dedup.simHashPairs]]'s
+  * signature stage. null → 0L, non-nullable.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    DedupSigImpl.simhash(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        long ${ev.value} = graft.functions.DedupSigImpl.simhash(
+          ${childGen.isNull} ? null : ${childGen.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+/** `minhash_bands(text, numHashes, bands, shingleSize, seed)` — codegen
+  * array of band bucket keys for [[Dedup.minHashCandidates]]. The params
+  * ride the node (and the generated class, via a reference object); the
+  * hash family is recomputed lazily from the seed on deserialization.
+  * null text → the empty-document signature's bands, non-nullable.
+  */
+case class MinHashBands(
+    child: Expression,
+    numHashes: Int,
+    bands: Int,
+    shingleSize: Int,
+    seed: Long) extends UnaryExpression {
+
+  @transient private lazy val params =
+    Dedup.MinHashParams(numHashes, bands, shingleSize, seed)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    DedupSigImpl.minhashBands(child.eval(input).asInstanceOf[UTF8String], params)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val pRef = ctx.addReferenceObj("minhashParams", params,
+      classOf[Dedup.MinHashParams].getName)
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.DedupSigImpl.minhashBands(
+            ${childGen.isNull} ? null : ${childGen.value}, $pRef);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_bands"
+}

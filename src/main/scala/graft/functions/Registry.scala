@@ -20,8 +20,23 @@ object Registry {
         "html_to_text", exprs => HtmlToText(exprs.head), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "clean_text_fast", exprs => CleanText(exprs.head), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_bands", exprs => MinHashBands(exprs.head,
+          litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)), litLong(exprs(4))),
+        "scala_udf")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    require(e.foldable, s"minhash_bands parameters must be literals, got $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    require(e.foldable, s"minhash_bands parameters must be literals, got $e")
+    e.eval().asInstanceOf[Number].longValue()
+  }
 
   /** html (binary or string) -> extracted text. Requires ensure(spark). */
   def htmlToText(c: Column): Column = call_function("html_to_text", c)
@@ -31,4 +46,18 @@ object Registry {
     * path. Requires ensure(spark).
     */
   def cleanTextFast(c: Column): Column = call_function("clean_text_fast", c)
+
+  /** 64-bit SimHash (codegen Expression ≡ `Dedup.simhash` over
+    * whitespace tokens). Requires ensure(spark).
+    */
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+
+  /** MinHash band bucket keys (codegen Expression ≡ signature + band
+    * fold of `Dedup.minHashCandidates`). Requires ensure(spark).
+    */
+  def minhashBands(c: Column, p: graft.ops.Dedup.MinHashParams): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("minhash_bands", c,
+      lit(p.numHashes), lit(p.bands), lit(p.shingleSize), lit(p.seed))
+  }
 }

@@ -151,7 +151,13 @@ object Dedup {
     verifyJaccard(docs, candidates, threshold, idCol, textCol, p.shingleSize)
   }
 
-  /** Candidate stage of [[minHashLsh]], exposed for scale specs. */
+  /** Candidate stage of [[minHashLsh]], exposed for scale specs.
+    *
+    * The signature + band fold runs as a codegen [[graft.functions
+    * .MinHashBands]] Expression (≡ the former typed mapPartitions,
+    * parity-spec'd) — the whole candidate plan is Catalyst, no
+    * encoder boundary around the dominant narrow stage.
+    */
   private[graft] def minHashCandidates(
       docs: DataFrame,
       p: MinHashParams,
@@ -159,22 +165,11 @@ object Dedup {
       textCol: String,
       maxBucket: Int): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    // typed path: (id, text) → minhash signature → (bandId, bandHash, id)
-    val withSig = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val toks = (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
-          val sig = signature(toks, p)
-          (0 until p.bands).iterator.map { b =>
-            var h = 1125899906842597L
-            var r = 0
-            while (r < p.rowsPerBand) { h = h * 31 + sig(b * p.rowsPerBand + r); r += 1 }
-            (b, h, id)
-          }
-        }
-      }.toDF("band", "band_hash", "id")
+    graft.functions.Registry.ensure(spark)
+    val withSig = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(graft.functions.Registry.minhashBands(col(textCol), p))
+          .as(Seq("band", "band_hash")))
+      .select(col("band"), col("band_hash"), col("id"))
     cappedPairs(withSig, Seq("band", "band_hash"), maxBucket)
   }
 
@@ -243,19 +238,21 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val candIds = candidates.select(col("id_a").as("id"))
       .unionByName(candidates.select(col("id_b").as("id")))
       .distinct()
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // pure-Catalyst shingle sets (≡ wordShingles + Hashing.xxhash64 — the
+    // scalar hash is bit-identical to functions.xxhash64, and a parity
+    // spec pins the whole column): tokens → k-gram join → hash → distinct
+    val toks = filter(split(coalesce(col(textCol), lit("")), " "),
+      t => t =!= lit(""))
+    val k = shingleSize
+    val shingles = when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+    docs.select(col(idCol).cast("long").as("id"),
+        array_distinct(transform(shingles, s => xxhash64(s))).as("shingles"))
       .join(candIds, Seq("id"), "left_semi")
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, wordShingles((if (text == null) "" else text)
-          .split(" ").filter(_.nonEmpty), shingleSize)
-          .map(sh => Hashing.xxhash64(sh)).toArray.distinct)
-      }.toDF("id", "shingles")
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -301,11 +298,11 @@ object Dedup {
       (if (widths(b) == 64) -1L else ((1L << widths(b)) - 1L)) << offs(b)
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, simhash((if (text == null) "" else text).split(" ").filter(_.nonEmpty))) }
-      .toDF("id", "sim")
+    graft.functions.Registry.ensure(spark)
+    // signature via the codegen SimHash64 Expression (≡ the former typed
+    // map, parity-spec'd): the whole pairs plan stays in Catalyst
+    val sigs = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.Registry.simhash64(col(textCol)).as("sim"))
     // the 64-bit signature rides the band rows as the cappedPairs payload
     // (ONE long — cheap on the wire, and it saves recomputing the whole
     // signature map twice more for id-joins; contrast embeddingNearDup,

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Registry
+import graft.ops.Dedup
+
+/** Codegen dedup-signature Expressions ≡ their scalar twins — the parity
+  * contract that lets the candidate plans run entirely inside
+  * WholeStageCodegen (no encoder boundary).
+  */
+class DedupExprSpec extends SparkSpec {
+
+  private val fuzz: Seq[String] = Seq(
+    "", " ", "   ", "one", "one two three four five",
+    "dup dup dup dup", "tabs\tstay intact", "mixed  double  spaces",
+    "unicode ñandú 北京 emoji 😀 ok", "trailing space ",
+    " leading", "a b", "x " * 200
+  ) ++ (0 until 20).map { i =>
+    val r = new java.util.Random(i)
+    (0 until (1 + r.nextInt(30)))
+      .map(_ => ("wordé" + r.nextInt(8)) * (1 + r.nextInt(2))).mkString(" ")
+  }
+
+  test("SimHash64 expression ≡ Dedup.simhash scalar (null → 0)") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val df = fuzz.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .union(Seq((9999L, null.asInstanceOf[String])).toDF("id", "text"))
+    val got = df.select($"id", Registry.simhash64($"text"))
+      .as[(Long, Long)].collect().toMap
+    fuzz.zipWithIndex.foreach { case (t, i) =>
+      val want = Dedup.simhash(t.split(" ").filter(_.nonEmpty))
+      assert(got(i.toLong) === want, s"text=<$t>")
+    }
+    assert(got(9999L) === 0L)
+  }
+
+  test("MinHashBands expression ≡ scalar signature + band fold") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val p = Dedup.MinHashParams()
+    val df = fuzz.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select($"id", Registry.minhashBands($"text", p))
+      .as[(Long, Array[Long])].collect().toMap
+    fuzz.zipWithIndex.foreach { case (t, i) =>
+      val sig = Dedup.signature(t.split(" ").filter(_.nonEmpty), p)
+      val want = (0 until p.bands).map { b =>
+        var h = 1125899906842597L
+        var r = 0
+        while (r < p.rowsPerBand) { h = h * 31 + sig(b * p.rowsPerBand + r); r += 1 }
+        h
+      }
+      assert(got(i.toLong).toSeq === want, s"text=<$t>")
+    }
+  }
+
+  test("column shingle sets ≡ scalar wordShingles + xxhash64 (order-insensitive)") {
+    import spark.implicits._
+    val df = fuzz.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ids = fuzz.indices.map(_.toLong)
+    val cands = ids.map(i => (i, i)).toDF("id_a", "id_b") // touch every doc
+    val got = Dedup.candidateShingleSets(df, cands, "doc_id", "text", 3)
+      .as[(Long, Array[Long])].collect().toMap
+    fuzz.zipWithIndex.foreach { case (t, i) =>
+      val want = Dedup.wordShingles(t.split(" ").filter(_.nonEmpty), 3)
+        .map(graft.util.Hashing.xxhash64(_)).toSeq.distinct.sorted
+      assert(got(i.toLong).toSeq.sorted === want, s"text=<$t>")
+    }
+  }
+
+  test("q33/q34 candidate plans stay inside Catalyst (no encoder boundary)") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"text body number $i repeated token"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minHashCandidates(docs, Dedup.MinHashParams(), "doc_id", "text",
+      Dedup.DefaultMaxBucket)
+    val sh = Dedup.simHashPairs(docs)
+    for ((name, df) <- Seq("minhash" -> mh, "simhash" -> sh)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+        s"$name plan left codegen:\n${plan.take(800)}")
+    }
+  }
+}
