@@ -41,6 +41,19 @@ object DedupSigImpl {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-table sign-bit LSH keys of one vector (see [[LshKeys]]). */
+  def lshKeys(v: ArrayData, planes: Array[Array[Double]],
+      bits: Int, tables: Int): ArrayData = {
+    val arr = v.toDoubleArray()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      out(t) = graft.ops.Similarity.lshKey(planes, arr, t, bits)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `simhash64(text)` — codegen scalar for [[Dedup.simHashPairs]]'s
@@ -114,4 +127,37 @@ case class MinHashBands(
     copy(child = newChild)
 
   override def prettyName: String = "minhash_bands"
+}
+
+/** `lsh_keys(vec, bits, tables, seed, dim)` — the per-table sign-bit LSH
+  * keys as a codegen array, THE same [[graft.ops.Similarity.lshKey]]
+  * definition used by index build/probe (the hyperplanes ride the
+  * generated class as a reference object, recomputed from the seed on
+  * deserialization). null vector → null.
+  */
+case class LshKeys(
+    child: Expression,
+    bits: Int,
+    tables: Int,
+    seed: Long,
+    dim: Int) extends UnaryExpression {
+
+  @transient private lazy val planes =
+    graft.ops.Similarity.randomPlanes(tables * bits, dim, seed)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    DedupSigImpl.lshKeys(input.asInstanceOf[ArrayData], planes, bits, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DedupSigImpl.lshKeys($c, $pRef, $bits, $tables);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_keys"
 }

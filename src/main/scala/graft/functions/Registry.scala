@@ -26,6 +26,10 @@ object Registry {
         "minhash_bands", exprs => MinHashBands(exprs.head,
           litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)), litLong(exprs(4))),
         "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "lsh_keys", exprs => LshKeys(exprs.head,
+          litInt(exprs(1)), litInt(exprs(2)), litLong(exprs(3)), litInt(exprs(4))),
+        "scala_udf")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
 
@@ -59,5 +63,14 @@ object Registry {
     import org.apache.spark.sql.functions.lit
     call_function("minhash_bands", c,
       lit(p.numHashes), lit(p.bands), lit(p.shingleSize), lit(p.seed))
+  }
+
+  /** Per-table sign-bit LSH keys (codegen Expression ≡
+    * `Similarity.lshKey` over the same plane family). Requires
+    * ensure(spark).
+    */
+  def lshKeys(c: Column, bits: Int, tables: Int, seed: Long, dim: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("lsh_keys", c, lit(bits), lit(tables), lit(seed), lit(dim))
   }
 }

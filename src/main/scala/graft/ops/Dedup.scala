@@ -389,18 +389,17 @@ object Dedup {
     // the corpus vectors never ride the ×tables signature explode or the
     // band self-join (VERDICT r03 #1; same layout as LshIndex's keys/
     // vectors split). At 100 TB the sig shuffle is 3 longs/row and the
-    // pair shuffle is bounded by the capped candidate count.
+    // pair shuffle is bounded by the capped candidate count. The cosine
+    // is column math (zip_with/aggregate ≡ the scalar, parity-spec'd) —
+    // the whole near-dup plan is Catalyst end to end.
     val vecs = embeddings.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     cands
       .join(vecs.select($"id".as("id_a"), $"v".as("va")), Seq("id_a"))
       .join(vecs.select($"id".as("id_b"), $"v".as("vb")), Seq("id_b"))
-      .select($"id_a", $"id_b", $"va", $"vb")
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (a, b, va, vb) => (a, b, Similarity.cosine(va, vb)) }
-      .toDF("id_a", "id_b", "cosine")
-      .filter(round($"cosine", 4) >= threshold)
-      .withColumn("cosine", round($"cosine", 4))
+      .withColumn("cosine", round(Similarity.cosinePair($"va", $"vb"), 4))
+      .filter($"cosine" >= threshold)
+      .select($"id_a", $"id_b", $"cosine")
   }
 
   /** Candidate stage of [[embeddingNearDup]]: keys-only signatures
@@ -416,21 +415,15 @@ object Dedup {
       vecCol: String,
       maxBucket: Int): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
-    val planes = Similarity.randomPlanes(tables * bits, dim, seed)
-    val bc = spark.sparkContext.broadcast(planes)
+    // keys via the codegen LshKeys Expression (same plane family as
+    // LshIndex/Similarity — THE single key definition)
     val sigs = embeddings.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val pl = bc.value
-        it.flatMap { case (id, v) =>
-          (0 until tables).iterator.map { t =>
-            (t, Similarity.lshKey(pl, v, t, bits), id)
-          }
-        }
-      }.toDF("table", "key", "id")
+        posexplode(graft.functions.Registry.lshKeys(
+          col(vecCol).cast("array<double>"), bits, tables, seed, dim))
+          .as(Seq("table", "key")))
+      .select(col("table"), col("key"), col("id"))
     cappedPairs(sigs, Seq("table", "key"), maxBucket)
   }
 }

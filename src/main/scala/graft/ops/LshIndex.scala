@@ -66,27 +66,22 @@ object LshIndex {
   private def vb(idCol: org.apache.spark.sql.Column) =
     pmod(idCol, lit(vecBuckets.toLong)).cast("int")
 
-  /** Keys-only signature rows: one (tbl, key, id) per table per vector. */
+  /** Keys-only signature rows: one (tbl, key, id) per table per vector —
+    * keys via the codegen [[graft.functions.LshKeys]] Expression (the
+    * single `Similarity.lshKey` definition), so the signature pass runs
+    * inside WholeStageCodegen with no encoder boundary.
+    */
   def signatures(embeddings: DataFrame, p: Params,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
-    val planes = Similarity.randomPlanes(p.tables * p.bits, dim, p.seed)
-    val bc = spark.sparkContext.broadcast(planes)
-    val tables = p.tables
-    val bits = p.bits
     embeddings
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val pl = bc.value
-        it.flatMap { case (id, v) =>
-          (0 until tables).iterator.map { t =>
-            (t, Similarity.lshKey(pl, v, t, bits), id)
-          }
-        }
-      }.toDF("tbl", "key", "id")
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(graft.functions.Registry.lshKeys(
+          col(vecCol).cast("array<double>"), p.bits, p.tables, p.seed, dim))
+          .as(Seq("tbl", "key")))
+      .select(col("tbl"), col("key"), col("id"))
   }
 
   /** Build (or rebuild) the index at `dir`: one narrow pass + two writes
@@ -209,19 +204,8 @@ object LshIndex {
     // reads of the caller's (possibly expensive) queries plan
     val qvs = queries.select(col(queryIdCol).cast("long").as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
-    val dim = qvs.select(size($"qv")).head().getInt(0)
-    val planes = Similarity.randomPlanes(p.tables * p.bits, dim, p.seed)
-    val bc = spark.sparkContext.broadcast(planes)
-    val tables = p.tables
-    val bits = p.bits
-    val qsigs = qvs.as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val pl = bc.value
-        it.flatMap { case (qid, qv) =>
-          (0 until tables).iterator.map(t =>
-            (t, Similarity.lshKey(pl, qv, t, bits), qid))
-        }
-      }.toDF("tbl", "key", "qid")
+    val qsigs = signatures(qvs, p, "qid", "qv")
+      .withColumnRenamed("id", "qid")
     val keys = spark.read.parquet(s"$dir/keys")
     val cands0 = qsigs.join(keys, Seq("tbl", "key"))
       .select($"qid", $"id").distinct()

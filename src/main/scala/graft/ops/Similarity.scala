@@ -71,6 +71,20 @@ object Similarity {
     dotC / (nv * nq)
   }
 
+  /** Column-level cosine between two vector columns (zip_with + aggregate
+    * — codegen'd, no encoder boundary). Accumulation order matches the
+    * scalar [[cosine]] exactly, so values are bit-identical (parity
+    * spec'd); 0.0 when either norm is zero, like the scalar.
+    */
+  def cosinePair(a: Column, b: Column): Column = {
+    val va = a.cast("array<double>")
+    val vb = b.cast("array<double>")
+    val d = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(va, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(vb, lit(0.0), (acc, x) => acc + x * x))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
   /** Brute-force cosine top-k for one query vector: scan all rows, rank by
     * rounded cosine (round-then-rank keeps oracle ordering stable), take k.
     */
@@ -89,11 +103,7 @@ object Similarity {
       .partitionBy($"qid").orderBy($"cosine".desc, $"id".asc)
     cands
       .join(qvs, Seq("qid"))
-      .select($"qid", $"id", $"v", $"qv")
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (qid, id, v, qv) => (qid, id, cosine(v, qv)) }
-      .toDF("qid", "id", "c")
-      .withColumn("cosine", round($"c", 4))
+      .withColumn("cosine", round(cosinePair($"v", $"qv"), 4))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"qid".as(queryIdCol), $"id".as(idCol), $"cosine", $"rnk")

@@ -72,6 +72,36 @@ class DedupExprSpec extends SparkSpec {
     }
   }
 
+  test("LshKeys expression ≡ Similarity.lshKey scalar; cosinePair ≡ scalar cosine (bit-exact)") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val dim = 12
+    val bits = 8
+    val tables = 4
+    val seed = 11L
+    val rng = new java.util.Random(5)
+    val rows = (0 until 40).map(i => (i.toLong,
+      Array.fill(dim)(rng.nextGaussian()))) :+ (99L, Array.fill(dim)(0.0))
+    val df = rows.toDF("id", "v")
+    val planes = graft.ops.Similarity.randomPlanes(tables * bits, dim, seed)
+    val keys = df.select($"id", Registry.lshKeys($"v", bits, tables, seed, dim))
+      .as[(Long, Array[Long])].collect().toMap
+    rows.foreach { case (id, v) =>
+      val want = (0 until tables).map(t => graft.ops.Similarity.lshKey(planes, v, t, bits))
+      assert(keys(id).toSeq === want, s"id=$id")
+    }
+    // cosinePair: bit-exact vs the scalar, including the zero-norm case
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+        graft.ops.Similarity.cosinePair($"a.v", $"b.v").as("c"))
+      .as[(Long, Long, Double)].collect()
+    val byId = rows.toMap
+    pairs.foreach { case (ia, ib, c) =>
+      assert(c === graft.ops.Similarity.cosine(byId(ia), byId(ib)),
+        s"pair ($ia,$ib)")
+    }
+  }
+
   test("q33/q34 candidate plans stay inside Catalyst (no encoder boundary)") {
     import spark.implicits._
     val docs = (0L until 20L).map(i => (i, s"text body number $i repeated token"))
