@@ -60,6 +60,10 @@ object DedupSigImpl {
   * signature stage. null → 0L, non-nullable.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
+  // input-type contract lives in Registry.ensure: the builder wraps the
+  // arg in Cast(StringType), so a binary textCol (which the previous
+  // typed path accepted via Dataset upcast) resolves at ANALYSIS time
+  // instead of failing in Janino/CCE at runtime
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
@@ -101,6 +105,7 @@ case class MinHashBands(
   @transient private lazy val params =
     Dedup.MinHashParams(numHashes, bands, shingleSize, seed)
 
+  // input cast contract: see Registry.ensure (Cast to StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
@@ -133,7 +138,7 @@ case class MinHashBands(
   * keys as a codegen array, THE same [[graft.ops.Similarity.lshKey]]
   * definition used by index build/probe (the hyperplanes ride the
   * generated class as a reference object, recomputed from the seed on
-  * deserialization). null vector → null.
+  * deserialization). null vector → ERROR (see the nullable note below).
   */
 case class LshKeys(
     child: Expression,
@@ -145,15 +150,37 @@ case class LshKeys(
   @transient private lazy val planes =
     graft.ops.Similarity.randomPlanes(tables * bits, dim, seed)
 
+  // input cast contract: see Registry.ensure (Cast to array<double>)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // a NULL embedding must fail LOUDLY: silently dropping it from the keys
+  // side (while build() keeps the row in the vectors side) would leave an
+  // index whose vector is unreachable by every probe, and near-dup
+  // candidacy would silently skip the doc — the previous typed path NPE'd
+  // here, surfacing the bad data, and this keeps that contract
+  override def nullable: Boolean = false
 
-  override protected def nullSafeEval(input: Any): Any =
-    DedupSigImpl.lshKeys(input.asInstanceOf[ArrayData], planes, bits, tables)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    require(v != null, "lsh_keys: null embedding — filter null vectors before indexing")
+    DedupSigImpl.lshKeys(v.asInstanceOf[ArrayData], planes, bits, tables)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.DedupSigImpl.lshKeys($c, $pRef, $bits, $tables);")
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        if (${childGen.isNull}) {
+          throw new IllegalArgumentException(
+            "lsh_keys: null embedding - filter null vectors before indexing");
+        }
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.DedupSigImpl.lshKeys(${childGen.value}, $pRef, $bits, $tables);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshKeys =

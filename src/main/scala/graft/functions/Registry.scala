@@ -21,24 +21,41 @@ object Registry {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "clean_text_fast", exprs => CleanText(exprs.head), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+        "simhash64", exprs => SimHash64(castTo(exprs.head,
+          org.apache.spark.sql.types.StringType)), "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "minhash_bands", exprs => MinHashBands(exprs.head,
+        "minhash_bands", exprs => MinHashBands(
+          castTo(exprs.head, org.apache.spark.sql.types.StringType),
           litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)), litLong(exprs(4))),
         "scala_udf")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "lsh_keys", exprs => LshKeys(exprs.head,
+        "lsh_keys", exprs => LshKeys(castTo(exprs.head,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
           litInt(exprs(1)), litInt(exprs(2)), litLong(exprs(3)), litInt(exprs(4))),
         "scala_udf")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
 
+  /** Analysis-time input contract for the signature expressions: cast the
+    * argument to the expected type (binary text upcasts like the former
+    * typed path did) instead of failing at runtime in generated code; a
+    * genuinely un-castable input fails analysis, loudly. No-op when the
+    * type already matches.
+    */
+  private def castTo(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      t: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    if (e.dataType == t) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(e, t)
+
   private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
-    require(e.foldable, s"minhash_bands parameters must be literals, got $e")
+    require(e.foldable, s"signature-function parameters must be literals, got $e")
     e.eval().asInstanceOf[Number].intValue()
   }
   private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
-    require(e.foldable, s"minhash_bands parameters must be literals, got $e")
+    require(e.foldable, s"signature-function parameters must be literals, got $e")
     e.eval().asInstanceOf[Number].longValue()
   }
 

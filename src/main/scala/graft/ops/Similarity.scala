@@ -74,7 +74,12 @@ object Similarity {
   /** Column-level cosine between two vector columns (zip_with + aggregate
     * — codegen'd, no encoder boundary). Accumulation order matches the
     * scalar [[cosine]] exactly, so values are bit-identical (parity
-    * spec'd); 0.0 when either norm is zero, like the scalar.
+    * spec'd); 0.0 when either norm is zero, like the scalar. A DIMENSION
+    * MISMATCH raises an error: zip_with would otherwise null-pad the
+    * shorter side and poison the aggregate to NULL, silently dropping the
+    * pair from any ≥-threshold filter (the scalar threw, loudly — corrupt
+    * or ragged embeddings must surface, not vanish). SQL null inputs stay
+    * null.
     */
   def cosinePair(a: Column, b: Column): Column = {
     val va = a.cast("array<double>")
@@ -82,7 +87,11 @@ object Similarity {
     val d = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(va, lit(0.0), (acc, x) => acc + x * x))
     val nb = sqrt(aggregate(vb, lit(0.0), (acc, x) => acc + x * x))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+    when(size(va) =!= size(vb),
+        raise_error(format_string(
+          "cosinePair: vector dimensions differ (%s vs %s)",
+          size(va).cast("string"), size(vb).cast("string"))))
+      .otherwise(when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb)))
   }
 
   /** Brute-force cosine top-k for one query vector: scan all rows, rank by

@@ -102,6 +102,33 @@ class DedupExprSpec extends SparkSpec {
     }
   }
 
+  test("guards: dim-mismatch cosine and null embeddings fail loudly; binary text implicit-casts") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    // ragged pair → error, not a silent NULL dropped by threshold filters
+    val ragged = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e1 = intercept[Exception] {
+      ragged.select(graft.ops.Similarity.cosinePair($"a", $"b")).collect()
+    }
+    assert(e1.getMessage.contains("dimensions differ"), e1.getMessage)
+    // null embedding → error (a silent drop would desync keys/vectors)
+    val withNull = Seq((1L, Array(1.0, 2.0)), (2L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      withNull.select(Registry.lshKeys($"embedding", 4, 2, 11L, 2)).collect()
+    }
+    assert(e2.getMessage.contains("null embedding"), e2.getMessage)
+    // SQL null input to cosinePair stays null (no error)
+    val nulls = Seq((Array(1.0), null.asInstanceOf[Array[Double]])).toDF("a", "b")
+    assert(nulls.select(graft.ops.Similarity.cosinePair($"a", $"b"))
+      .collect().head.isNullAt(0))
+    // binary text column resolves via implicit cast (the typed path took
+    // any atomic type) and matches the utf8-decoded scalar
+    val bin = Seq((1L, "two words".getBytes("UTF-8"))).toDF("id", "html")
+    val got = bin.select(Registry.simhash64($"html")).as[Long].head()
+    assert(got === Dedup.simhash(Array("two", "words")))
+  }
+
   test("q33/q34 candidate plans stay inside Catalyst (no encoder boundary)") {
     import spark.implicits._
     val docs = (0L until 20L).map(i => (i, s"text body number $i repeated token"))

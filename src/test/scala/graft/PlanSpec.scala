@@ -145,8 +145,18 @@ class PlanSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val candidates = Seq((0L, 1L)).toDF("id_a", "id_b")
     val sets = graft.ops.Dedup.candidateShingleSets(docs, candidates, "doc_id", "text", 3)
-    assert(sets.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
-      "the shingle pass must semi-join against candidate ids before mapping")
+    val opt = sets.queryExecution.optimizedPlan
+    val semi = opt.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semi.isDefined, s"no LeftSemi in:\n$opt")
+    // POSITION matters: the semi-join must sit BELOW the shingle
+    // projection (PushDownLeftSemiAntiJoin) so only candidate docs are
+    // shingled — if the doc side of the join already computes xxhash64,
+    // the whole corpus is being re-shingled per verify pass
+    assert(!semi.get.left.toString.contains("xxhash64"),
+      s"shingle computation below the candidate semi-join:\n${semi.get.left}")
     assert(sets.count() === 2L, "only candidate docs get shingled")
   }
 
