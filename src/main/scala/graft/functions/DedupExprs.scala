@@ -54,6 +54,26 @@ object DedupSigImpl {
     }
     new GenericArrayData(out)
   }
+
+  /** The `nprobe` nearest IVF cells of one vector, ordered by (squared
+    * distance, cell id) — THE single cell-routing definition: the
+    * [[IvfCells]] expression, `IvfIndex.build` (nprobe=1) and the
+    * driver-side probe all call it.
+    */
+  def nearestCells(v: Array[Double], centroids: Array[Array[Double]],
+      nprobe: Int): Array[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy { case (d, i) => (d, i) }
+      .take(nprobe).map(_._2)
+
+  /** [[nearestCells]] over ArrayData, for generated code. */
+  def nearestCellsData(v: ArrayData, centroids: Array[Array[Double]],
+      nprobe: Int): ArrayData =
+    new GenericArrayData(nearestCells(v.toDoubleArray(), centroids, nprobe))
 }
 
 /** `simhash64(text)` — codegen scalar for [[Dedup.simHashPairs]]'s
@@ -187,4 +207,64 @@ case class LshKeys(
     copy(child = newChild)
 
   override def prettyName: String = "lsh_keys"
+}
+
+/** `ivf_cells(vec, centroids, nprobe)` — the query/build cell routing of
+  * [[graft.ops.IvfIndex]] as a codegen array of the nprobe nearest cell
+  * ids (ordered by distance then cell id; the centroid matrix rides the
+  * generated class as a reference object). null vector → ERROR, same
+  * index-integrity contract as [[LshKeys]].
+  */
+case class IvfCells(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    require(v != null, "ivf_cells: null embedding — filter null vectors before indexing")
+    DedupSigImpl.nearestCellsData(v.asInstanceOf[ArrayData], centroids, nprobe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        if (${childGen.isNull}) {
+          throw new IllegalArgumentException(
+            "ivf_cells: null embedding - filter null vectors before indexing");
+        }
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.DedupSigImpl.nearestCellsData(${childGen.value}, $cRef, $nprobe);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  // case-class equality on Array is reference-based; centroids are part
+  // of the node identity for plan equality — compare by content
+  override def equals(o: Any): Boolean = o match {
+    case other: IvfCells =>
+      child == other.child && nprobe == other.nprobe &&
+        centroids.length == other.centroids.length &&
+        centroids.indices.forall(i =>
+          java.util.Arrays.equals(centroids(i), other.centroids(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(nprobe),
+      Int.box(java.util.Arrays.deepHashCode(
+        centroids.asInstanceOf[Array[AnyRef]])))
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
+
+  override def prettyName: String = "ivf_cells"
 }

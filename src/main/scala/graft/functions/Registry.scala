@@ -34,6 +34,12 @@ object Registry {
             org.apache.spark.sql.types.DoubleType)),
           litInt(exprs(1)), litInt(exprs(2)), litLong(exprs(3)), litInt(exprs(4))),
         "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "ivf_cells", exprs => IvfCells(castTo(exprs.head,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+          litMatrix(exprs(1)), litInt(exprs(2))),
+        "scala_udf")
       registered.put(spark, java.lang.Boolean.TRUE)
     }
 
@@ -49,6 +55,13 @@ object Registry {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     if (e.dataType == t) e
     else org.apache.spark.sql.catalyst.expressions.Cast(e, t)
+
+  private def litMatrix(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Array[Array[Double]] = {
+    require(e.foldable, s"ivf_cells centroids must be a literal matrix, got $e")
+    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
 
   private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
     require(e.foldable, s"signature-function parameters must be literals, got $e")
@@ -89,5 +102,15 @@ object Registry {
   def lshKeys(c: Column, bits: Int, tables: Int, seed: Long, dim: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("lsh_keys", c, lit(bits), lit(tables), lit(seed), lit(dim))
+  }
+
+  /** The nprobe nearest IVF cell ids, ordered by (distance, cell)
+    * (codegen Expression ≡ `IvfIndex.nearestCell` routing). Requires
+    * ensure(spark).
+    */
+  def ivfCells(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("ivf_cells", c,
+      typedlit(centroids.map(_.toSeq).toSeq), lit(nprobe))
   }
 }

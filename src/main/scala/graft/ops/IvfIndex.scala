@@ -45,38 +45,28 @@ object IvfIndex {
     FixtureTrainer.kmeans(sample, math.min(p.cells, sample.length), p.seed)
   }
 
-  def nearestCell(centroids: Array[Array[Double]], v: Array[Double]): Int = {
-    var best = 0
-    var bd = Double.MaxValue
-    var c = 0
-    while (c < centroids.length) {
-      val cen = centroids(c)
-      var d = 0.0
-      var j = 0
-      while (j < v.length) { val t = v(j) - cen(j); d += t * t; j += 1 }
-      if (d < bd) { bd = d; best = c }
-      c += 1
-    }
-    best
-  }
+  /** Nearest cell of one vector — delegates to the single cell-routing
+    * definition shared with the [[graft.functions.IvfCells]] Expression.
+    */
+  def nearestCell(centroids: Array[Array[Double]], v: Array[Double]): Int =
+    graft.functions.DedupSigImpl.nearestCells(v, centroids, 1)(0)
 
   /** Assign every vector to its nearest centroid and write the index
-    * partitioned by cell (one file per cell dir).
+    * partitioned by cell (one file per cell dir). Cell routing is the
+    * codegen [[graft.functions.IvfCells]] Expression — the build pass
+    * stays inside WholeStageCodegen like the LSH index build.
     */
   def build(embeddings: DataFrame, dir: String,
       centroids: Array[Array[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
+    graft.functions.Registry.ensure(spark)
     embeddings
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val cents = bc.value
-        it.map { case (id, v) => (nearestCell(cents, v), id, v) }
-      }
-      .toDF("cell", "id", "v")
+      .select(
+        element_at(graft.functions.Registry.ivfCells(
+          col(vecCol).cast("array<double>"), centroids, 1), 1).as("cell"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(dir)
   }
@@ -89,15 +79,7 @@ object IvfIndex {
       k: Int = 10, nprobe: Int = 4,
       excludeId: Option[Long] = None,
       idCol: String = "vec_id"): DataFrame = {
-    val cells = centroids.zipWithIndex
-      .map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < query.length) { val t = query(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }
-      .sortBy { case (d, i) => (d, i) }
-      .take(nprobe).map(_._2)
+    val cells = graft.functions.DedupSigImpl.nearestCells(query, centroids, nprobe)
     val base = spark.read.parquet(dir)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     val cands = excludeId.map(id => base.filter(col("id") =!= id)).getOrElse(base)
@@ -127,23 +109,12 @@ object IvfIndex {
       queryIdCol: String = "query_id", vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
-    val np = nprobe
+    graft.functions.Registry.ensure(spark)
     val qvs = queries.select(col(queryIdCol).cast("long").as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
-    val qcells = qvs.as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val cents = bc.value
-        it.flatMap { case (qid, qv) =>
-          cents.zipWithIndex.map { case (c, ci) =>
-            var d = 0.0
-            var j = 0
-            while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
-            (d, ci)
-          }.sortBy { case (d, ci) => (d, ci) }
-            .take(np).iterator.map { case (_, ci) => (qid, ci) }
-        }
-      }.toDF("qid", "cell")
+    val qcells = qvs.select($"qid",
+      explode(graft.functions.Registry.ivfCells($"qv", centroids, nprobe))
+        .as("cell"))
     val index = spark.read.parquet(dir).select($"cell", $"id", $"v")
     val cands0 = qcells.join(index, Seq("cell")).select($"qid", $"id", $"v")
     val cands = if (excludeSelf) cands0.filter($"qid" =!= $"id") else cands0

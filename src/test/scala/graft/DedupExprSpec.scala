@@ -102,6 +102,27 @@ class DedupExprSpec extends SparkSpec {
     }
   }
 
+  test("IvfCells expression ≡ scalar nearestCells routing (order + nulls loud)") {
+    import spark.implicits._
+    Registry.ensure(spark)
+    val dim = 6
+    val rng = new java.util.Random(3)
+    val cents = Array.fill(5)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0 until 30).map(i => (i.toLong, Array.fill(dim)(rng.nextGaussian())))
+    val got = rows.toDF("id", "v")
+      .select($"id", Registry.ivfCells($"v", cents, 3))
+      .as[(Long, Array[Int])].collect().toMap
+    rows.foreach { case (id, v) =>
+      val want = graft.functions.DedupSigImpl.nearestCells(v, cents, 3).toSeq
+      assert(got(id).toSeq === want, s"id=$id")
+    }
+    val e = intercept[Exception] {
+      Seq((1L, null.asInstanceOf[Array[Double]])).toDF("id", "v")
+        .select(Registry.ivfCells($"v", cents, 2)).collect()
+    }
+    assert(e.getMessage.contains("null embedding"), e.getMessage)
+  }
+
   test("guards: dim-mismatch cosine and null embeddings fail loudly; binary text implicit-casts") {
     import spark.implicits._
     Registry.ensure(spark)
