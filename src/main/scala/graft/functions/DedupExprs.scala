@@ -42,10 +42,28 @@ object DedupSigImpl {
     new GenericArrayData(out)
   }
 
+  /** toDoubleArray with a null-element guard: ArrayData.toDoubleArray
+    * reads a null slot as 0.0 (raw primitive copy), which would silently
+    * corrupt a signature/cell routing — the exact desync the top-level
+    * null guards exist to prevent. The former typed path's encoder threw
+    * here; keep that contract.
+    */
+  private def toDoublesStrict(v: ArrayData, fn: String): Array[Double] = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$fn: null element at index $i in embedding - clean vectors first")
+      i += 1
+    }
+    v.toDoubleArray()
+  }
+
   /** Per-table sign-bit LSH keys of one vector (see [[LshKeys]]). */
   def lshKeys(v: ArrayData, planes: Array[Array[Double]],
       bits: Int, tables: Int): ArrayData = {
-    val arr = v.toDoubleArray()
+    val arr = toDoublesStrict(v, "lsh_keys")
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -62,18 +80,35 @@ object DedupSigImpl {
     */
   def nearestCells(v: Array[Double], centroids: Array[Array[Double]],
       nprobe: Int): Array[Int] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      var d = 0.0
-      var j = 0
-      while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-      (d, i)
-    }.sortBy { case (d, i) => (d, i) }
-      .take(nprobe).map(_._2)
+    if (nprobe == 1) {
+      // allocation-free argmin fast path — this is the full-corpus build
+      // pass (and strict-< keeps the same first-minimal tie-break as the
+      // sorted general path)
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val t = v(j) - cen(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      Array(best)
+    } else
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy { case (d, i) => (d, i) }
+        .take(nprobe).map(_._2)
 
   /** [[nearestCells]] over ArrayData, for generated code. */
   def nearestCellsData(v: ArrayData, centroids: Array[Array[Double]],
       nprobe: Int): ArrayData =
-    new GenericArrayData(nearestCells(v.toDoubleArray(), centroids, nprobe))
+    new GenericArrayData(nearestCells(toDoublesStrict(v, "ivf_cells"), centroids, nprobe))
 }
 
 /** `simhash64(text)` — codegen scalar for [[Dedup.simHashPairs]]'s
@@ -249,7 +284,12 @@ case class IvfCells(
   }
 
   // case-class equality on Array is reference-based; centroids are part
-  // of the node identity for plan equality — compare by content
+  // of the node identity for plan equality — compare by content. Content
+  // hashing is CACHED: canonicalization/subexpr-elimination hash nodes
+  // repeatedly, and a production quantizer is cells×dim large. (At very
+  // large cell counts a broadcast handle keyed by an id would beat
+  // carrying the matrix on the node at all — documented tradeoff; the
+  // shipped quantizers are tens of cells.)
   override def equals(o: Any): Boolean = o match {
     case other: IvfCells =>
       child == other.child && nprobe == other.nprobe &&
@@ -258,10 +298,10 @@ case class IvfCells(
           java.util.Arrays.equals(centroids(i), other.centroids(i)))
     case _ => false
   }
+  @transient private lazy val centroidHash =
+    java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
   override def hashCode(): Int =
-    java.util.Objects.hash(child, Int.box(nprobe),
-      Int.box(java.util.Arrays.deepHashCode(
-        centroids.asInstanceOf[Array[AnyRef]])))
+    java.util.Objects.hash(child, Int.box(nprobe), Int.box(centroidHash))
 
   override protected def withNewChildInternal(newChild: Expression): IvfCells =
     copy(child = newChild)

@@ -59,8 +59,17 @@ object Registry {
   private def litMatrix(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Array[Array[Double]] = {
     require(e.foldable, s"ivf_cells centroids must be a literal matrix, got $e")
-    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    // cast first so a SQL call with an int-literal matrix resolves instead
+    // of dying in an opaque ClassCastException at eval
+    val casted = castTo(e, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    val v = casted.eval()
+    require(v != null, "ivf_cells: centroids literal must not be NULL")
+    val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      require(!ad.isNullAt(i), s"ivf_cells: centroid row $i is NULL")
+      ad.getArray(i).toDoubleArray()
+    }
   }
 
   private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {

@@ -78,8 +78,11 @@ object Similarity {
     * MISMATCH raises an error: zip_with would otherwise null-pad the
     * shorter side and poison the aggregate to NULL, silently dropping the
     * pair from any ≥-threshold filter (the scalar threw, loudly — corrupt
-    * or ragged embeddings must surface, not vanish). SQL null inputs stay
-    * null.
+    * or ragged embeddings must surface, not vanish). SQL null INPUTS stay
+    * null; a null ELEMENT inside a vector also nulls the result (SQL
+    * arithmetic semantics — unlike the strict index expressions, which
+    * throw, because an index must stay consistent while a null-poisoned
+    * similarity is recoverable by filtering cosine.isNull).
     */
   def cosinePair(a: Column, b: Column): Column = {
     val va = a.cast("array<double>")

@@ -121,6 +121,18 @@ class DedupExprSpec extends SparkSpec {
         .select(Registry.ivfCells($"v", cents, 2)).collect()
     }
     assert(e.getMessage.contains("null embedding"), e.getMessage)
+    // a null ELEMENT would be read as 0.0 by toDoubleArray and silently
+    // misroute the vector — must throw instead
+    val e2 = intercept[Exception] {
+      Seq((1L, Seq[java.lang.Double](1.0, null, 3.0))).toDF("id", "v")
+        .select(Registry.ivfCells($"v".cast("array<double>"), cents, 2)).collect()
+    }
+    assert(e2.getMessage.contains("null element"), e2.getMessage)
+    // nprobe=1 fast path ≡ general path head
+    rows.take(5).foreach { case (_, v) =>
+      assert(graft.functions.DedupSigImpl.nearestCells(v, cents, 1).toSeq ===
+        graft.functions.DedupSigImpl.nearestCells(v, cents, 3).toSeq.take(1))
+    }
   }
 
   test("guards: dim-mismatch cosine and null embeddings fail loudly; binary text implicit-casts") {
