@@ -153,35 +153,24 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
     val dim = query.length
     val planes = randomPlanes(tables * bits, dim, seed)
-    val bc = spark.sparkContext.broadcast(planes)
-    val queryKeys: Map[Int, Long] =
-      (0 until tables).map(t => t -> lshKey(planes, query, t, bits)).toMap
-    val qk = spark.sparkContext.broadcast(queryKeys)
-    val qv = spark.sparkContext.broadcast(query)
+    val queryKeys = (0 until tables).map(t => lshKey(planes, query, t, bits))
     val base = excludeId.map(id => embeddings.filter(col(idCol) =!= id))
       .getOrElse(embeddings)
+    // candidacy via the SAME codegen LshKeys expression the materialized
+    // index uses — candidate-identity between one-shot and indexed probes
+    // is structural, not a parallel-implementation promise. zip_with +
+    // exists evaluates the key array once per row.
+    val rowKeys = graft.functions.Registry.lshKeys(
+      col(vecCol).cast("array<double>"), bits, tables, seed, dim)
+    val hit = exists(
+      zip_with(rowKeys, typedLit(queryKeys), (a, b) => a === b), x => x)
     base
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val pl = bc.value
-        val keys = qk.value
-        val q = qv.value
-        it.flatMap { case (id, v) =>
-          var t = 0
-          var hit = false
-          while (t < tables && !hit) {
-            hit = keys(t) == lshKey(pl, v, t, bits)
-            t += 1
-          }
-          if (hit) Iterator.single((id, cosine(v, q))) else Iterator.empty
-        }
-      }
-      .toDF(idCol, "cosine")
-      .withColumn("cosine", round(col("cosine"), 4))
+      .filter(hit)
+      .select(col(idCol).cast("long").as(idCol),
+        round(cosineToQuery(col(vecCol), query), 4).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
