@@ -425,14 +425,21 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.Registry.ensure(spark)
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
-    // keys via the codegen LshKeys Expression (same plane family as
-    // LshIndex/Similarity — THE single key definition)
-    val sigs = embeddings.select(col(idCol).cast("long").as("id"),
-        posexplode(graft.functions.Registry.lshKeys(
-          col(vecCol).cast("array<double>"), bits, tables, seed, dim))
-          .as(Seq("table", "key")))
-      .select(col("table"), col("key"), col("id"))
-    cappedPairs(sigs, Seq("table", "key"), maxBucket)
+    Similarity.vecDim(embeddings, vecCol) match {
+      case None => // empty input → no candidates, not a head() throw
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id_a BIGINT, id_b BIGINT"))
+      case Some(dim) =>
+        // keys via the codegen LshKeys Expression (same plane family as
+        // LshIndex/Similarity — THE single key definition)
+        val sigs = embeddings.select(col(idCol).cast("long").as("id"),
+            posexplode(graft.functions.Registry.lshKeys(
+              col(vecCol).cast("array<double>"), bits, tables, seed, dim))
+              .as(Seq("table", "key")))
+          .select(col("table"), col("key"), col("id"))
+        cappedPairs(sigs, Seq("table", "key"), maxBucket)
+    }
   }
 }

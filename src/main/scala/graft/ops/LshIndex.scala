@@ -75,13 +75,20 @@ object LshIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.Registry.ensure(spark)
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
-    embeddings
-      .select(col(idCol).cast("long").as("id"),
-        posexplode(graft.functions.Registry.lshKeys(
-          col(vecCol).cast("array<double>"), p.bits, p.tables, p.seed, dim))
-          .as(Seq("tbl", "key")))
-      .select(col("tbl"), col("key"), col("id"))
+    Similarity.vecDim(embeddings, vecCol) match {
+      case None => // empty input → empty signatures, not a head() throw
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "tbl INT, key BIGINT, id BIGINT"))
+      case Some(dim) =>
+        embeddings
+          .select(col(idCol).cast("long").as("id"),
+            posexplode(graft.functions.Registry.lshKeys(
+              col(vecCol).cast("array<double>"), p.bits, p.tables, p.seed, dim))
+              .as(Seq("tbl", "key")))
+          .select(col("tbl"), col("key"), col("id"))
+    }
   }
 
   /** Build (or rebuild) the index at `dir`: one narrow pass + two writes

@@ -44,6 +44,21 @@ object Similarity {
     key
   }
 
+  /** Vector dimension probed from the FIRST row of `df(vecCol)`: None on
+    * an empty frame (callers return an empty result instead of throwing
+    * `next on empty iterator`); a null first vector is an explicit error
+    * — the signature expressions reject null embeddings anyway, so
+    * surfacing it at the probe beats an NPE three operators later.
+    */
+  private[ops] def vecDim(df: DataFrame, vecCol: String): Option[Int] = {
+    val rows = df.select(size(col(vecCol))).limit(1).collect()
+    if (rows.isEmpty) None
+    else if (rows(0).isNullAt(0))
+      throw new IllegalArgumentException(
+        s"cannot infer vector dimension: first '$vecCol' value is null")
+    else Some(rows(0).getInt(0))
+  }
+
   def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
@@ -60,15 +75,21 @@ object Similarity {
 
   /** Column-level cosine between an embedding column and a literal query
     * vector, computed in double (left-to-right accumulation — matches the
-    * DuckDB list-function evaluation order).
+    * DuckDB list-function evaluation order). Zero-norm vectors (either
+    * side) yield 0.0 — the SAME guard as [[cosinePair]] and the scalar
+    * [[cosine]]: without it a zero indexed vector produced 0/0 = NaN,
+    * which sorts FIRST under `cosine DESC`, so single probes ranked a
+    * zero vector as the top neighbor while batch probes (cosinePair)
+    * ranked it last — breaking the documented batch ≡ per-query contract.
     */
   def cosineToQuery(vec: Column, query: Array[Double]): Column = {
     val q = typedLit(query)
     val v = vec.cast("array<double>")
     val dotC = aggregate(zip_with(v, q, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val nv = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    val nq = lit(math.sqrt(dot(query, query)))
-    dotC / (nv * nq)
+    val nqVal = math.sqrt(dot(query, query))
+    if (nqVal == 0.0) when(v.isNotNull, lit(0.0)) // null vec stays null
+    else when(nv === 0.0, lit(0.0)).otherwise(dotC / (nv * lit(nqVal)))
   }
 
   /** Column-level cosine between two vector columns (zip_with + aggregate

@@ -140,11 +140,13 @@ final class TripleStore(val root: String, spark: SparkSession) {
   def commit(batch: String, triples: DataFrame, supersedes: Seq[String] = Nil): Long = {
     // the z* id namespace is RESERVED for internal compaction/rewrite
     // staging: sweepLingeringDead() deletes unmanifested batch=z* data
-    // dirs, so an external writer using a z id could have its in-flight
+    // dirs, so an external writer using ANY z id — including one that
+    // happens to spell 'zcompact-mybatch' — could have its in-flight
     // (data-written, manifest-pending) batch swept by a concurrent
-    // maintenance call — enforce the convention instead of trusting it
-    require(!batch.startsWith("z") ||
-        batch.startsWith("zcompact-") || batch.startsWith("zrewrite-"),
+    // maintenance call. The public surface therefore rejects the WHOLE
+    // z namespace; the internal compact/rewrite paths call [[commitImpl]]
+    // directly (they are the namespace's only legitimate writers).
+    require(!batch.startsWith("z"),
       s"batch id '$batch' uses the reserved internal staging prefix 'z'; " +
         "pick an id not starting with 'z'")
     commitImpl(batch, triples, supersedes)
@@ -234,6 +236,9 @@ final class TripleStore(val root: String, spark: SparkSession) {
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f.getPath
     }
+    // materialize ONCE: the Builder contract guarantees only one result()
+    // call (the current ListBuffer backing happens to tolerate two)
+    val fileList = files.result()
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     // dedicated bounded IO pool: footer opens BLOCK on filesystem IO, so
@@ -242,10 +247,10 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // large commit; a finite await turns a hung filesystem into an error
     // instead of a silent driver wedge
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, files.result().size.max(1)))
+      math.min(32, fileList.size.max(1)))
     try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      Await.result(Future.traverse(files.result()) { p =>
+      Await.result(Future.traverse(fileList) { p =>
         Future {
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
@@ -332,13 +337,14 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // extra marker rows whose urls are not in the batch — they cannot
     // change a left_anti result; blooms have no false negatives.
     //
-    // DETERMINISM PRECONDITION: the `pages` plan is evaluated twice here
-    // (count + bloom build) and once more by the anti-join. All callers
-    // pass deterministic plans (parquet/fixture reads + deterministic
-    // transforms). A NONDETERMINISTIC pages plan (e.g. a sample without a
-    // seed) could yield bloom false negatives against the join-time rows,
-    // dropping committed markers and re-committing processed pages as
-    // duplicates — persist such a plan before calling.
+    // DETERMINISM PRECONDITION: the `pages` plan is evaluated once for
+    // the bloom build (count + filter share a persisted url projection)
+    // and once more by the anti-join. All callers pass deterministic
+    // plans (parquet/fixture reads + deterministic transforms). A
+    // NONDETERMINISTIC pages plan (e.g. a sample without a seed) could
+    // yield bloom false negatives against the join-time rows, dropping
+    // committed markers and re-committing processed pages as duplicates —
+    // persist such a plan before calling.
     val done =
       if (predRowCount(pred) <= bloomThreshold) done0
       else {
@@ -347,13 +353,21 @@ final class TripleStore(val root: String, spark: SparkSession) {
         // ≥ bloomThreshold rows; one narrow pass over the batch is noise)
         // instead of a fixed 10M-slot ~9 MB broadcast whose fpp also
         // degrades for batches larger than the hardcoded capacity. The
-        // count IS a third evaluation of the pages plan (count + bloom +
-        // anti-join) — accepted: callers with an expensive page plan
-        // should persist it first, which the determinism precondition
-        // above already tells them to do.
-        val expected = math.max(pages.count(), 1024L)
-        val bf = spark.sparkContext.broadcast(
-          pages.stat.bloomFilter(urlCol, expected, 0.03))
+        // count and the bloom build share ONE evaluation of the pages
+        // plan via a persisted url projection (ADVICE r04: relying on
+        // callers to persist meant an expensive clean-text plan ran three
+        // times); the projection is one string per row, so the cache is
+        // tiny, and it is released as soon as the bloom broadcast — an
+        // eager action — is built. The anti-join itself still evaluates
+        // the caller's plan once, as any join must.
+        val urls = pages.select(col(urlCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bf =
+          try {
+            val expected = math.max(urls.count(), 1024L)
+            spark.sparkContext.broadcast(
+              urls.stat.bloomFilter(urlCol, expected, 0.03))
+          } finally urls.unpersist(blocking = false)
         val mightContain = udf((u: String) => u != null && bf.value.mightContain(u))
         done0.filter(mightContain(col(urlCol)))
       }
@@ -523,7 +537,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
         .parquet(nonEmpty.map(dataDir): _*)
         .drop("batch", "bucket")
     val cid = "zcompact-" + graft.util.Hashing.xxhash64(target.sorted.mkString(",")).toHexString
-    commit(cid, data, supersedes = target.sorted)
+    commitImpl(cid, data, supersedes = target.sorted)
     if (runCleanup) {
       cleanup(target)
       sweepLingeringDead()
@@ -588,7 +602,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // deterministic rewrite id: a crashed delete retried with the same
     // store state recomputes the same affected set → same staging dir
     val rid = "zrewrite-" + graft.util.Hashing.xxhash64(affected.mkString(",")).toHexString
-    commit(rid, remaining, supersedes = affected)
+    commitImpl(rid, remaining, supersedes = affected)
     // best-effort cleanup of dead manifests + data (already superseded)
     cleanup(affected.toIndexedSeq)
   }

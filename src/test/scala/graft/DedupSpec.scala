@@ -339,4 +339,57 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(brute.intersect(ivf).size.toDouble / brute.size >= 0.8)
   }
+
+  test("empty embedding inputs: near-dup and batch probes return empty, null first vector errs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // ADVICE r04: the dim probe threw `next on empty iterator` here
+    assert(Dedup.embeddingNearDup(empty).count() === 0L)
+    val dim = 4
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Array.fill(dim)((i + 1).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val p = graft.ops.LshIndex.Params(bits = 4, tables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshempty_").toString
+    graft.ops.LshIndex.build(df, dir, p)
+    val emptyQ = Seq.empty[(Long, Array[Float])].toDF("query_id", "embedding")
+    assert(graft.ops.LshIndex.topKBatch(spark, dir, emptyQ, k = 3, p = p).count() === 0L)
+    // a null FIRST vector is a loud error, not an NPE
+    val nullFirst = Seq((0L, null: Array[Float]), (1L, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(nullFirst).count()
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("zero-norm vectors rank identically in single and batch probes (cosine 0.0, never NaN)") {
+    import spark.implicits._
+    // ADVICE r04: cosineToQuery produced 0/0 = NaN for a zero indexed
+    // vector, which sorts FIRST under cosine DESC — single probes ranked
+    // it top while batch probes (cosinePair, guarded) ranked it last
+    val dim = 4
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 0f, 0f, 0f)), // zero vector in the index
+      (2L, Array(1f, 1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val brute = Similarity.bruteForceTopK(df, q, k = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(brute.head === ((0L, 1.0)))
+    assert(brute.find(_._1 == 1L).get._2 === 0.0) // 0.0, not NaN-first
+    // batch ≡ single through a materialized index containing the zero vec
+    val p = graft.ops.LshIndex.Params(bits = 2, tables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshzero_").toString
+    graft.ops.LshIndex.build(df, dir, p)
+    val queries = Seq((0L, rows(0)._2)).toDF("query_id", "embedding")
+    val batch = graft.ops.LshIndex.topKBatch(spark, dir, queries, k = 4, p = p)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toMap
+    val single = graft.ops.LshIndex.topK(spark, dir, q, k = 4, p = p)
+      .as[(Long, Double)].collect().toMap
+    assert(batch === single)
+    assert(!single.values.exists(_.isNaN))
+  }
 }

@@ -368,4 +368,26 @@ class TripleStoreSpec extends SparkSpec {
     store.commit("b99", triples(("u9", "hasTopic", "t9", 1L)))
     assert(store.committed().count() === 11L)
   }
+
+  test("commit rejects the ENTIRE reserved z namespace, including zcompact-/zrewrite- spellings") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ts_zns_").toString
+    val store = new TripleStore(root, spark)
+    // ADVICE r04 (medium): the guard exempted zcompact-/zrewrite-, which
+    // are exactly the prefixes sweepLingeringDead() deletes when
+    // unmanifested — an external writer picking 'zcompact-mybatch' could
+    // have its in-flight batch swept by concurrent maintenance
+    for (id <- Seq("zcompact-mybatch", "zrewrite-mybatch", "z1")) {
+      val e = intercept[IllegalArgumentException] {
+        store.commit(id, triples(("u0", "mentions", "e0", 1L)))
+      }
+      assert(e.getMessage.contains("reserved"), id)
+    }
+    // internal compaction still works (goes through commitImpl directly)
+    store.commit("b1", triples(("u0", "mentions", "e0", 1L)))
+    store.commit("b2", triples(("u1", "mentions", "e1", 1L)))
+    store.compact()
+    assert(store.committedBatches().size === 1)
+    assert(store.committedBatches().head.startsWith("zcompact-"))
+  }
 }
