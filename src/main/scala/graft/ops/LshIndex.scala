@@ -36,6 +36,31 @@ object LshIndex {
 
   final case class Params(bits: Int = 10, tables: Int = 8, seed: Long = 11L)
 
+  /** At BUILD time: derive bits from the corpus count
+    * ([[Dedup.recommendedBits]]); at PROBE time: use the geometry the
+    * index was built with (read from `dir/_params`) — the only geometry
+    * a probe can ever be correct under. VERDICT r04 #2: fixed fixture
+    * defaults (bits=10) silently saturate at 10^9+ vectors.
+    */
+  val AutoParams: Params = Params(bits = Dedup.AutoBits)
+
+  /** The geometry an index at `dir` was built with — written by [[build]]
+    * alongside the keys/vectors tables so probes (and future rebuilds)
+    * need not guess.
+    */
+  def loadParams(spark: SparkSession, dir: String): Params = {
+    val row = spark.read.parquet(s"$dir/_params").head()
+    Params(row.getAs[Int]("bits"), row.getAs[Int]("tables"),
+      row.getAs[Long]("seed"))
+  }
+
+  /** Resolve [[AutoParams]] at probe time against the index's recorded
+    * geometry; explicit params pass through (mismatched explicit params
+    * are the caller's contract to keep — specs pass the build params).
+    */
+  private def resolveProbe(spark: SparkSession, dir: String, p: Params): Params =
+    if (p.bits != Dedup.AutoBits) p else loadParams(spark, dir)
+
   /** Partition fan-out guard: 2^bits keys per table would explode the
     * directory count, so keys are grouped into key-buckets for the
     * PHYSICAL layout; the exact key stays a data column and is filtered
@@ -95,9 +120,23 @@ object LshIndex {
     * (keys, vectors-once). At scale this is the batch-indexing job that
     * amortizes over all subsequent probes.
     */
-  def build(embeddings: DataFrame, dir: String, p: Params = Params(),
+  def build(embeddings: DataFrame, dir: String, p: Params = AutoParams,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    signatures(embeddings, p, idCol, vecCol)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // size (AutoBits) or validate (explicit bits) the key space from one
+    // cheap corpus count BEFORE the signature pass: a key space the
+    // corpus has outgrown floods every bucket and a probe's candidate
+    // set degenerates toward the whole table (VERDICT r04 #2)
+    val n = embeddings.count()
+    val eff =
+      if (p.bits == Dedup.AutoBits) p.copy(bits = Dedup.recommendedBits(n))
+      else { Dedup.requireKeySpace(n, p.bits, Dedup.DefaultMaxBucket, "LshIndex.build"); p }
+    // record the geometry IN the index — probes resolve AutoParams from
+    // here, so an auto-sized index cannot be probed with drifted params
+    Seq((eff.bits, eff.tables, eff.seed)).toDF("bits", "tables", "seed")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_params")
+    signatures(embeddings, eff, idCol, vecCol)
       .withColumn("kb", pmod(col("key"), lit(keyBuckets)))
       // hash-distribute on the partition columns (Iceberg's
       // write.distribution-mode=hash): ONE file per (tbl, kb) dir instead
@@ -131,7 +170,8 @@ object LshIndex {
     */
   private[graft] def candidateIds(spark: SparkSession, dir: String,
       query: Array[Double], p: Params, excludeId: Option[Long]): DataFrame = {
-    val keys = queryKeys(query, p)
+    val pr = resolveProbe(spark, dir, p)
+    val keys = queryKeys(query, pr)
     val pruned = keys.map { case (t, key) =>
       col("tbl") === t && col("kb") === (((key % keyBuckets) + keyBuckets) % keyBuckets) &&
         col("key") === key
@@ -143,7 +183,7 @@ object LshIndex {
   }
 
   def topK(spark: SparkSession, dir: String, query: Array[Double],
-      k: Int = 10, p: Params = Params(),
+      k: Int = 10, p: Params = AutoParams,
       excludeId: Option[Long] = None,
       idCol: String = "vec_id"): DataFrame = {
     val candIdsDf = candidateIds(spark, dir, query, p, excludeId)
@@ -201,17 +241,18 @@ object LshIndex {
     * self-kNN case, where each query IS an indexed vector).
     */
   def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 10, p: Params = Params(),
+      k: Int = 10, p: Params = AutoParams,
       excludeSelf: Boolean = false,
       queryIdCol: String = "query_id", vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     import spark.implicits._
+    val pr = resolveProbe(spark, dir, p)
     // single projected query plan: the dim probe, the signature explode
     // and the qv fetch all derive from `qvs`, not from three separate
     // reads of the caller's (possibly expensive) queries plan
     val qvs = queries.select(col(queryIdCol).cast("long").as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
-    val qsigs = signatures(qvs, p, "qid", "qv")
+    val qsigs = signatures(qvs, pr, "qid", "qv")
       .withColumnRenamed("id", "qid")
     val keys = spark.read.parquet(s"$dir/keys")
     val cands0 = qsigs.join(keys, Seq("tbl", "key"))

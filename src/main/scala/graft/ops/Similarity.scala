@@ -162,6 +162,13 @@ object Similarity {
     * brute force is tested; at scale the bucketed scan touches
     * ~candidates/n of the data and the bucket table can be partitioned by
     * (table, key).
+    *
+    * `bits = Dedup.AutoBits` (0) sizes the key space from a corpus count
+    * ([[Dedup.recommendedBits]]); explicit bits are validated against
+    * key-space saturation (expected occupancy ≤ [[Dedup.DefaultMaxBucket]])
+    * — on this one-shot path saturation degrades candidates toward the
+    * whole corpus rather than dropping pairs, but the fix (more bits) is
+    * the same, so the guard fails loudly here too.
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -175,9 +182,13 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.Registry.ensure(spark)
+    val n = embeddings.count() // column-pruned; sizes or validates the key space
+    val effBits =
+      if (bits == Dedup.AutoBits) Dedup.recommendedBits(n)
+      else { Dedup.requireKeySpace(n, bits, Dedup.DefaultMaxBucket, "lshTopK"); bits }
     val dim = query.length
-    val planes = randomPlanes(tables * bits, dim, seed)
-    val queryKeys = (0 until tables).map(t => lshKey(planes, query, t, bits))
+    val planes = randomPlanes(tables * effBits, dim, seed)
+    val queryKeys = (0 until tables).map(t => lshKey(planes, query, t, effBits))
     val base = excludeId.map(id => embeddings.filter(col(idCol) =!= id))
       .getOrElse(embeddings)
     // candidacy via the SAME codegen LshKeys expression the materialized
@@ -185,7 +196,7 @@ object Similarity {
     // is structural, not a parallel-implementation promise. zip_with +
     // exists evaluates the key array once per row.
     val rowKeys = graft.functions.Registry.lshKeys(
-      col(vecCol).cast("array<double>"), bits, tables, seed, dim)
+      col(vecCol).cast("array<double>"), effBits, tables, seed, dim)
     val hit = exists(
       zip_with(rowKeys, typedLit(queryKeys), (a, b) => a === b), x => x)
     base

@@ -340,6 +340,47 @@ class DedupSpec extends SparkSpec {
     assert(brute.intersect(ivf).size.toDouble / brute.size >= 0.8)
   }
 
+  test("key-space sizing is wired, not advisory: AutoBits derives from the corpus, undersized explicit bits trip the guard") {
+    import spark.implicits._
+    val dim = 4
+    val rng = new java.util.Random(5)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    // explicit bits small enough to saturate the key space → loud error
+    // BEFORE any band join (VERDICT r04 #2: silent star-only recall)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(df, bits = 2, maxBucket = 10)
+    }
+    assert(e1.getMessage.contains("recommendedBits"))
+    val big = (0 until 3000).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.LshIndex.build(big, "/tmp/never_written_lsh",
+        graft.ops.LshIndex.Params(bits = 1))
+    }
+    assert(e2.getMessage.contains("recommendedBits"))
+    // AutoBits: index records its derived geometry; default probes use it
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshauto_").toString
+    graft.ops.LshIndex.build(df, dir) // AutoParams default
+    val recorded = graft.ops.LshIndex.loadParams(spark, dir)
+    assert(recorded.bits === Dedup.recommendedBits(120L))
+    val q = rows(3)._2.map(_.toDouble)
+    val auto = graft.ops.LshIndex.topK(spark, dir, q, k = 5) // AutoParams default
+      .as[(Long, Double)].collect().toSeq
+    val explicit = graft.ops.LshIndex.topK(spark, dir, q, k = 5, p = recorded)
+      .as[(Long, Double)].collect().toSeq
+    assert(auto === explicit)
+    assert(auto.head._1 === 3L) // self is its own nearest neighbor
+    // the near-dup AutoBits path still finds a scaled copy (cosine 1)
+    val withCopy = (rows :+ (999L, rows(0)._2.map(v => v * 2f)))
+      .toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDup(withCopy, threshold = 0.99, bits = Dedup.AutoBits)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((0L, 999L)))
+  }
+
   test("empty embedding inputs: near-dup and batch probes return empty, null first vector errs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
