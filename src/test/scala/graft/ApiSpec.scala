@@ -146,4 +146,49 @@ class ApiSpec extends SparkSpec {
     }
     assert(got("u3").entities.isEmpty)
   }
+
+  test("Api.topics: active run's topic metadata with rank-ordered terms (GET /v1/topics analogue)") {
+    import spark.implicits._
+    val reg = new graft.pipeline.RunRegistry(
+      java.nio.file.Files.createTempDirectory("graft_api_reg_").toString, spark)
+    // no active run → loud error (reference get_active_id_run raises)
+    val topicsTable = Seq((0, "Topic 0", 3L), (1, "Topic 1", 2L), (2, "Topic 2", 0L))
+      .toDF("id_topic", "topic_name", "topic_size") // q37 shape
+    val termsTable = Seq( // q36 shape; ranks deliberately out of order
+      (0, 2L, "beta", 0.2), (0, 1L, "alpha", 0.5), (0, 3L, "gamma", 0.1),
+      (1, 1L, "delta", 0.9))
+      .toDF("id_topic", "rank", "term", "weight")
+    intercept[IllegalStateException] { Api.topics(reg, topicsTable, termsTable) }
+    reg.register("run-a", "m", 10, 2, 3, 0.5)
+    reg.register("run-b", "m", 10, 2, 3, 0.6)
+    reg.activate("run-b")
+    val got = Api.topics(reg, topicsTable, termsTable)
+      .select($"id_run", $"id_topic", $"topic_name", $"topic_size", $"top_terms")
+      .as[(String, Int, String, Long, Seq[String])].collect().toSeq
+    assert(got.map(_._2) === Seq(0, 1, 2)) // ordered by id_topic (W5)
+    assert(got.forall(_._1 === "run-b")) // the ACTIVE run, not the latest-registered
+    assert(got(0)._5 === Seq("alpha", "beta", "gamma")) // rank order, not insert order
+    assert(got(1)._5 === Seq("delta"))
+    assert(got(2)._5 === Seq.empty) // topic with no term rows still appears
+  }
+
+  test("Api.entities: entity dictionary ordered by mention count (GET /v1/entities analogue)") {
+    import spark.implicits._
+    val es = new graft.pipeline.EntityStore(
+      java.nio.file.Files.createTempDirectory("graft_api_es_").toString, spark)
+    es.merge("b1", Seq(
+      ("u1", "spark", "ORG", "Spark", 2L),
+      ("u2", "spark", "ORG", "Spark", 3L),
+      ("u1", "paris", "GPE", "Paris", 1L),
+      ("u2", "ada", "PERSON", "Ada", 1L))
+      .toDF("url", "entity_text_norm", "entity_type", "entity_text", "n"))
+    val got = Api.entities(es)
+      .select($"entity_text_norm", $"entity_mentions_count", $"news_count")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.head === (("spark", 5L, 2L))) // count DESC
+    assert(got.map(_._1) === Seq("spark", "ada", "paris")) // tie → norm ASC
+    // full q40/EntityRecord shape rides through
+    assert(Api.entities(es).columns.toSeq === Seq("id_entity", "entity_text",
+      "entity_text_norm", "entity_type", "entity_mentions_count", "news_count"))
+  }
 }

@@ -70,6 +70,21 @@ class EntityLinkSpec extends SparkSpec {
       .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.toString)
     assert(salted.length === broad.length)
     assert(salted.toSeq === broad.toSeq)
+    // supplied hot keys (the dict's own news_count stat — VERDICT r04 #1:
+    // no re-aggregation of the mention side) give the identical result
+    val hotFromDict = dict.filter($"news_count" > 5)
+      .select($"entity_text_norm", $"entity_type")
+    val saltedPre = EntityLink.linkSalted(perDoc, dict, saltFactor = 4,
+        hotThreshold = 5, hotKeys = Some(hotFromDict))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.toString)
+    assert(saltedPre.toSeq === broad.toSeq)
+    // and so does a deliberately WRONG hot set (salting is value-neutral)
+    val coldOnly = dict.filter($"news_count" <= 5)
+      .select($"entity_text_norm", $"entity_type")
+    val saltedCold = EntityLink.linkSalted(perDoc, dict, saltFactor = 4,
+        hotThreshold = 5, hotKeys = Some(coldOnly))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.toString)
+    assert(saltedCold.toSeq === broad.toSeq)
   }
 
   test("assertAllLinked throws on a missing dictionary key (tables.py:125-133)") {
