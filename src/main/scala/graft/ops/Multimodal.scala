@@ -7,12 +7,13 @@ import graft.util.Hashing
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns + typed metadata, processed in BATCHED `mapPartitions`.
   *
-  * Decoding is REAL (library-free) for PPM/BMP/PNG/WAV via
+  * Decoding is REAL for PPM/BMP/PNG/WAV (library-free parsers) and
+  * JPEG/GIF (JDK-standard `javax.imageio`) via
   * [[MediaCodecs.FormatDecoder]] — metadata, pixel-exact resize, mean
-  * channels, PCM frame sampling. Formats needing external codecs (JPEG,
-  * H.264, …) fall back to the deterministic [[DecodeStub]] behavior
-  * behind the same `MediaDecoder` trait, which is where a production
-  * JNI/codec implementation drops in.
+  * channels, PCM/GIF frame counts. Formats needing native codecs
+  * (H.264, WebP, …) fall back to the deterministic [[DecodeStub]]
+  * behavior behind the same `MediaDecoder` trait, which is where a
+  * production JNI/codec implementation drops in.
   */
 object Multimodal {
 

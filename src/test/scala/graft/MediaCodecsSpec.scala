@@ -145,4 +145,41 @@ class MediaCodecsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](MediaCodecs.parseWav(truncated))
   }
+
+  test("JPEG and GIF decode through javax.imageio: metadata + mean channels") {
+    def encoded(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+      baos.toByteArray
+    }
+    // solid mid-gray: JPEG chroma subsampling is exact on flat fields
+    val jpeg = encoded("jpeg", 8, 6, 0x808080)
+    assert(MediaCodecs.isJpeg(jpeg) && !MediaCodecs.isGif(jpeg))
+    assert(MediaCodecs.decodeImageIo(jpeg) === ((8, 6, 3, 1)))
+    val jm = MediaCodecs.imageIoMeanChannels(jpeg)
+    assert(jm.forall(c => math.abs(c - 0x80) <= 2.0), jm.toSeq)
+    val gif = encoded("gif", 5, 4, 0xFF0000) // palette format: exact red
+    assert(MediaCodecs.isGif(gif) && !MediaCodecs.isJpeg(gif))
+    val (gw, gh, gc, gframes) = MediaCodecs.decodeImageIo(gif)
+    assert((gw, gh, gframes) === ((5, 4, 1)))
+    assert(gc >= 3) // palette color model reports its RGB(A) components
+    assert(MediaCodecs.imageIoMeanChannels(gif).toSeq === Seq(255.0, 0.0, 0.0))
+    // batched Spark path routes both through FormatDecoder, and a
+    // truncated JPEG falls back to the stub instead of killing the task
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val media = Seq(
+      Multimodal.MediaRow(1L, jpeg, Multimodal.MediaMeta("image", 0, 0)),
+      Multimodal.MediaRow(2L, gif, Multimodal.MediaMeta("image", 0, 0)),
+      Multimodal.MediaRow(3L, jpeg.take(8), Multimodal.MediaMeta("image", 0, 0)))
+      .toDS()
+    val got = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f).toMap
+    assert((got(1L).width, got(1L).height, got(1L).channels) === ((8, 6, 3)))
+    assert((got(2L).width, got(2L).height) === ((5, 4)))
+    assert(got(3L).n_bytes === 8L) // stub fallback still yields real length
+  }
 }
