@@ -1,8 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -74,25 +72,32 @@ final class EntityStore(val root: String, spark: SparkSession,
   import spark.implicits._
   import EntityStore.dictBuckets
 
-  Files.createDirectories(Paths.get(root))
+  /** Version/pointer I/O through the Hadoop FileSystem API
+    * ([[graft.util.StoreFs]]): the store root may be file://, hdfs://,
+    * etc. — the clean-bucket forward keeps its hard-link fast path on
+    * the local scheme and degrades to a FileSystem copy elsewhere.
+    */
+  private val sfs = new graft.util.StoreFs(root, spark.sessionState.newHadoopConf())
 
-  private def latestPtr = Paths.get(root, "_latest")
-  private def versionDir(v: Long): Path = Paths.get(root, s"v=$v")
+  sfs.mkdirs(sfs.rootPath)
+
+  private def latestPtr: HPath = sfs.path("_latest")
+  private def versionDir(v: Long): HPath = sfs.path(s"v=$v")
 
   private def currentVersion(): Long =
-    if (Files.exists(latestPtr)) Files.readString(latestPtr).trim.toLong else 0L
+    if (sfs.exists(latestPtr)) sfs.readString(latestPtr).trim.toLong else 0L
 
   /** Batch ids already merged into the current version. */
   def mergedBatches(): Set[String] = {
     val v = currentVersion()
     if (v == 0L) Set.empty
-    else Files.readAllLines(versionDir(v).resolve("_batches"))
-      .asScala.filter(_.nonEmpty).toSet
+    else sfs.readString(new HPath(versionDir(v), "_batches"))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
   }
 
   private def table(v: Long, name: String, schemaDDL: String): DataFrame = {
-    val dir = versionDir(v).resolve(name)
-    if (v == 0L || !Files.exists(dir))
+    val dir = new HPath(versionDir(v), name)
+    if (v == 0L || !sfs.exists(dir))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
@@ -140,7 +145,7 @@ final class EntityStore(val root: String, spark: SparkSession,
         .as[Int].collect().sorted
       val next = v + 1L
       val nextDir = versionDir(next)
-      if (Files.exists(nextDir)) deleteRecursively(nextDir) // crashed retry
+      if (sfs.exists(nextDir)) sfs.delete(nextDir, recursive = true) // crashed retry
       val mergedSurf = table(v, "surfaces", surfacesDDL)
         .filter($"bucket".isin(dirty.map(Int.box): _*)) // partition-pruned
         .unionByName(batchSurf)
@@ -151,17 +156,15 @@ final class EntityStore(val root: String, spark: SparkSession,
         .unionByName(batchNews)
         .groupBy($"entity_text_norm", $"entity_type", $"bucket")
         .agg(sum($"news_count").as("news_count"))
-      writeBuckets(mergedSurf, nextDir.resolve("surfaces"))
-      writeBuckets(mergedNews, nextDir.resolve("news"))
-      // clean buckets ride forward as hard links — metadata-only
+      writeBuckets(mergedSurf, new HPath(nextDir, "surfaces"))
+      writeBuckets(mergedNews, new HPath(nextDir, "news"))
+      // clean buckets ride forward as hard links (local) / copies (remote)
       linkCleanBuckets(v, nextDir, "surfaces", dirty.toSet)
       linkCleanBuckets(v, nextDir, "news", dirty.toSet)
-      Files.write(nextDir.resolve("_batches"),
-        (already + batchId).toSeq.sorted.asJava)
-      val tmp = Paths.get(root, s"_latest.tmp$next")
-      Files.writeString(tmp, next.toString)
-      Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      sfs.writeString(new HPath(nextDir, "_batches"),
+        (already + batchId).toSeq.sorted.mkString("", "\n", "\n"))
+      sfs.writeStringAtomic(latestPtr, next.toString,
+        tmpName = s"_latest.tmp$next")
       pruneVersions(next)
       true
     } finally batchSurf.unpersist(blocking = false)
@@ -173,48 +176,33 @@ final class EntityStore(val root: String, spark: SparkSession,
     */
   private def pruneVersions(current: Long): Unit = {
     var v = current - retainVersions
-    while (v >= 1L && Files.exists(versionDir(v))) {
-      deleteRecursively(versionDir(v))
+    while (v >= 1L && sfs.exists(versionDir(v))) {
+      sfs.delete(versionDir(v), recursive = true)
       v -= 1L
     }
   }
 
-  private def writeBuckets(df: DataFrame, dir: Path): Unit =
+  private def writeBuckets(df: DataFrame, dir: HPath): Unit =
     df.repartition($"bucket") // one file per bucket dir
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(dir.toString)
 
   private def linkCleanBuckets(
-      prevVersion: Long, nextDir: Path, name: String, dirty: Set[Int]): Unit = {
+      prevVersion: Long, nextDir: HPath, name: String, dirty: Set[Int]): Unit = {
     if (prevVersion == 0L) return
-    val prev = versionDir(prevVersion).resolve(name)
-    if (!Files.exists(prev)) return
-    listDir(prev).foreach { d =>
-      val dn = d.getFileName.toString
+    val prev = new HPath(versionDir(prevVersion), name)
+    if (!sfs.exists(prev)) return
+    sfs.listNames(prev).foreach { dn =>
       if (dn.startsWith("bucket=") &&
           !dirty.contains(dn.stripPrefix("bucket=").toInt)) {
-        val target = nextDir.resolve(name).resolve(dn)
-        Files.createDirectories(target)
-        listDir(d).foreach { f =>
-          val t = target.resolve(f.getFileName)
-          try Files.createLink(t, f)
-          catch { case _: Exception =>
-            Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
-          }
+        val src = new HPath(prev, dn)
+        val target = new HPath(new HPath(nextDir, name), dn)
+        sfs.mkdirs(target)
+        sfs.listNames(src).foreach { fn =>
+          sfs.linkOrCopy(new HPath(src, fn), new HPath(target, fn))
         }
       }
     }
-  }
-
-  /** Listing with the stream CLOSED (bare Files.list leaks a dir fd). */
-  private def listDir(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.toArray.toSeq.map(p => Paths.get(p.toString)) finally s.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 
   /** The queryable entity dictionary (≙ reference `entities` table,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,13 +22,18 @@ final class RunRegistry(val root: String, spark: SparkSession) {
 
   import spark.implicits._
 
-  Files.createDirectories(Paths.get(root))
+  /** Pointer I/O through the Hadoop FileSystem API ([[graft.util
+    * .StoreFs]]) — the registry root may be file://, hdfs://, etc.
+    */
+  private val sfs = new graft.util.StoreFs(root, spark.sessionState.newHadoopConf())
 
-  final private def latestPtr = Paths.get(root, "_latest")
+  sfs.mkdirs(sfs.rootPath)
+
+  final private def latestPtr: HPath = sfs.path("_latest")
   private def versionDir(v: Long): String = s"$root/v=$v"
 
   private def currentVersion(): Long =
-    if (Files.exists(latestPtr)) Files.readString(latestPtr).trim.toLong else 0L
+    if (sfs.exists(latestPtr)) sfs.readString(latestPtr).trim.toLong else 0L
 
   /** Current registry table — full schema parity with the reference's
     * `topics_model_training_runs` (`db/schema.sql:33-50`): the complete
@@ -54,10 +59,8 @@ final class RunRegistry(val root: String, spark: SparkSession) {
   private def publish(df: DataFrame): Unit = {
     val next = currentVersion() + 1L
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(versionDir(next))
-    val tmp = Paths.get(root, s"_latest.tmp$next")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    sfs.writeStringAtomic(latestPtr, next.toString,
+      tmpName = s"_latest.tmp$next")
   }
 
   import RunRegistry.RunParams

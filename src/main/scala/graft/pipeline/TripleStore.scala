@@ -1,8 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
@@ -57,22 +55,27 @@ object PredCounter extends Aggregator[String, Map[String, Long], String] {
   */
 final class TripleStore(val root: String, spark: SparkSession) {
 
-  private def manifestDir: Path = Paths.get(root, "_manifest")
+  /** All manifest I/O goes through the Hadoop FileSystem API
+    * ([[graft.util.StoreFs]]) so the store root may be a bare local
+    * path, `file://`, `hdfs://`, or `s3a://` — the same portability the
+    * data paths (Spark parquet I/O) always had. Per-scheme atomicity of
+    * the manifest publication rename is documented on StoreFs.
+    */
+  private val sfs = new graft.util.StoreFs(root, spark.sessionState.newHadoopConf())
+  private val manifestDir: HPath = sfs.path("_manifest")
+  private def manifestPath(b: String): HPath = new HPath(manifestDir, s"$b.commit")
   private def dataDir(batch: String): String = s"$root/data/batch=$batch"
 
-  Files.createDirectories(manifestDir)
+  sfs.mkdirs(manifestDir)
 
-  /** Directory listing with the stream CLOSED (a bare Files.list leaks an
-    * open-directory fd until GC — a long-running stream calls this many
-    * times per micro-batch and would exhaust the fd table).
+  /** Committed batch ids present in the manifest dir (one listing RPC —
+    * no per-entry stats, object-store friendly).
     */
-  private def listDir(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.toArray.toSeq.map(p => Paths.get(p.toString)) finally s.close()
-  }
+  private def manifestNames(): Seq[String] =
+    sfs.listNames(manifestDir).filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit"))
 
-  private def manifestFiles(): Seq[Path] =
-    listDir(manifestDir).filter(_.getFileName.toString.endsWith(".commit"))
+  private def readManifest(b: String): String = sfs.readString(manifestPath(b))
 
   private val SupersedesRe = """"supersedes":\[([^\]]*)\]""".r
   private val RowsRe = """"rows":(\d+)""".r
@@ -88,13 +91,12 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * a dead intermediate manifest surviving cleanup.
     */
   private def deadBatches(): Set[String] =
-    manifestFiles().flatMap(f => parseSupersedes(Files.readString(f))).toSet
+    manifestNames().flatMap(b => parseSupersedes(readManifest(b))).toSet
 
   /** Live committed batch ids: manifested minus superseded-by-anyone. */
   def committedBatches(): Seq[String] = {
     val dead = deadBatches()
-    manifestFiles().map(_.getFileName.toString.stripSuffix(".commit"))
-      .filterNot(dead).sorted
+    manifestNames().filterNot(dead).sorted
   }
 
   /** Close `direct` under the supersedes relation by walking the (still
@@ -111,9 +113,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
       val b = frontier.head
       frontier = frontier.tail
       if (seen.add(b)) {
-        val mf = manifestDir.resolve(s"$b.commit")
-        if (Files.exists(mf))
-          frontier = parseSupersedes(Files.readString(mf)) ++: frontier
+        if (sfs.exists(manifestPath(b)))
+          frontier = parseSupersedes(readManifest(b)) ++: frontier
       }
     }
     seen.toSeq.sorted
@@ -208,15 +209,12 @@ final class TripleStore(val root: String, spark: SparkSession) {
     val supersedesJson =
       if (allSupersedes.isEmpty) ""
       else allSupersedes.map(s => s""""$s"""").mkString(""","supersedes":[""", ",", "]")
-    val tmp = manifestDir.resolve(s"$batch.tmp")
-    val fin = manifestDir.resolve(s"$batch.commit")
-    Files.writeString(tmp,
+    sfs.writeStringAtomic(manifestPath(batch),
       s"""{"batch":"$batch","rows":$n,"path":"$dir",""" +
         s""""preds":$predsJson,""" +
         s""""partitions":${perPart.mkString("[", ",", "]")}""" +
-        supersedesJson + "}\n")
-    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+        supersedesJson + "}\n",
+      tmpName = s"$batch.tmp")
     n
   }
 
@@ -281,8 +279,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
     */
   private def nonEmptyBatches(): Seq[String] =
     committedBatches().filter { b =>
-      val m = Files.readString(manifestDir.resolve(s"$b.commit"))
-      RowsRe.findFirstMatchIn(m).forall(_.group(1).toLong > 0L)
+      RowsRe.findFirstMatchIn(readManifest(b)).forall(_.group(1).toLong > 0L)
     }
 
   def committed(): DataFrame = {
@@ -387,7 +384,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
     val escaped = pred.replace("\\", "\\\\").replace("\"", "\\\"")
     val keyRe = (java.util.regex.Pattern.quote(s""""$escaped":""") + """(\d+)""").r
     committedBatches().map { b =>
-      val m = Files.readString(manifestDir.resolve(s"$b.commit"))
+      val m = readManifest(b)
       PredsObjRe.findFirstMatchIn(m).map(_.group(1)) match {
         case Some(preds) => keyRe.findFirstMatchIn(preds).map(_.group(1).toLong).getOrElse(0L)
         case None => 0L
@@ -493,8 +490,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
     var live = committedBatches()
     while (live.size > maxLive) {
       val bySize = live.map { b =>
-        val m = Files.readString(manifestDir.resolve(s"$b.commit"))
-        b -> RowsRe.findFirstMatchIn(m).map(_.group(1).toLong).getOrElse(0L)
+        b -> RowsRe.findFirstMatchIn(readManifest(b))
+          .map(_.group(1).toLong).getOrElse(0L)
       }
       val smallest = bySize.sortBy { case (b, r) => (r, b) }.take(fanIn).map(_._1)
       compact(smallest)
@@ -526,9 +523,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // rows:0 batches have NO data files (an empty partitionBy write emits
     // none) — fold their manifests away without trying to read them
     val nonEmpty = target.filter { b =>
-      val m = manifestDir.resolve(s"$b.commit")
-      Files.exists(m) &&
-        RowsRe.findFirstMatchIn(Files.readString(m)).forall(_.group(1).toLong > 0L)
+      sfs.exists(manifestPath(b)) &&
+        RowsRe.findFirstMatchIn(readManifest(b)).forall(_.group(1).toLong > 0L)
     }
     val data =
       if (nonEmpty.isEmpty) emptyTriples()
@@ -557,12 +553,10 @@ final class TripleStore(val root: String, spark: SparkSession) {
     */
   private def sweepLingeringDead(): Unit = {
     val dead = deadBatches()
-    val lingering = manifestFiles()
-      .map(_.getFileName.toString.stripSuffix(".commit")).filter(dead)
+    val lingering = manifestNames().filter(dead)
     if (lingering.nonEmpty) cleanup(lingering)
-    val manifested = manifestFiles()
-      .map(_.getFileName.toString.stripSuffix(".commit")).toSet
-    val dataRoot = new org.apache.hadoop.fs.Path(s"$root/data")
+    val manifested = manifestNames().toSet
+    val dataRoot = new HPath(s"$root/data")
     val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dataRoot)) {
       val orphans = fs.listStatus(dataRoot).toSeq
@@ -578,10 +572,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
   private def cleanup(batches: Seq[String]): Unit =
     batches.foreach { b =>
       try {
-        Files.deleteIfExists(manifestDir.resolve(s"$b.commit"))
-        val p = new org.apache.hadoop.fs.Path(dataDir(b))
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(p, true)
+        sfs.delete(manifestPath(b), recursive = false)
+        sfs.delete(new HPath(dataDir(b)), recursive = true)
       } catch { case _: java.io.IOException => () }
     }
 
