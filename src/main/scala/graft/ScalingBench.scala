@@ -25,6 +25,20 @@ import graft.pipeline.KgPipeline
   * sbt "runMain graft.ScalingBench run /tmp/pages 32"   # 4N
   * }}}
   *
+  * DEDUP MODE (VERDICT r04 next #3 — the LLM-pipeline core's own N→4N
+  * evidence): `stage-dedup` writes a seeded corpus with known near-dup
+  * structure — per 8-doc group, one base + two ~2-word perturbations
+  * (shingle Jaccard ≈ 0.8) + five unrelated docs, plus one corpus-wide
+  * EXACT-duplicate boilerplate cluster (~docs/997 members, larger than
+  * the hot-bucket cap, so the star path + connected components are in
+  * the measured plan); `run-dedup` times `Dedup.nearDupClusters` over it:
+  *
+  * {{{
+  * sbt "runMain graft.ScalingBench stage-dedup /tmp/docs 2000000"
+  * sbt "runMain graft.ScalingBench run-dedup /tmp/docs 2"   # N
+  * sbt "runMain graft.ScalingBench run-dedup /tmp/docs 8"   # 4N
+  * }}}
+  *
   * Run EXCLUSIVELY — co-located load invalidates the numbers.
   */
 object ScalingBench {
@@ -87,6 +101,51 @@ object ScalingBench {
     }
   }
 
+  /** Deterministic dedup-corpus text for doc `id` — pure function of the
+    * id (no RNG state), so the staged corpus is reproducible and the
+    * expected cluster structure is known by construction.
+    */
+  private[graft] def dedupDocText(id: Long): String = {
+    import graft.util.Hashing.splitmix64
+    if (id % 997 == 0) {
+      // corpus-wide EXACT-duplicate boilerplate cluster (~docs/997
+      // members): bigger than Dedup.DefaultMaxBucket at ≥1M docs, so the
+      // hot-bucket star cap is part of the measured plan
+      Array.tabulate(40)(i =>
+        "boiler" + math.floorMod(splitmix64(424242L + i), 1000)).mkString(" ")
+    } else {
+      val group = id / 8
+      val member = id % 8
+      // members 0-2 share the group's base text; 1 and 2 perturb two
+      // words each (≈6 of ~58 3-shingles change → Jaccard ≈ 0.8)
+      val docSeed = if (member < 3) group * 131L + 7L else id * 977L + 13L
+      val words = Array.tabulate(60)(i =>
+        "w" + math.floorMod(splitmix64(docSeed * 1000003L + i), 5000))
+      if (member == 1L || member == 2L) {
+        val p1 = math.floorMod(splitmix64(id * 31L + 1L), 60L).toInt
+        var p2 = math.floorMod(splitmix64(id * 31L + 2L), 60L).toInt
+        if (p2 == p1) p2 = (p2 + 17) % 60
+        words(p1) = "x" + math.floorMod(splitmix64(id * 31L + 3L), 5000)
+        words(p2) = "x" + math.floorMod(splitmix64(id * 31L + 4L), 5000)
+      }
+      words.mkString(" ")
+    }
+  }
+
+  private def runDedup(spark: SparkSession, dir: String): (Long, Long) = {
+    import spark.implicits._
+    val docs = spark.read.parquet(dir)
+    val clusters = graft.ops.Dedup.nearDupClusters(docs, threshold = 0.7)
+    // one materialization evaluates every output row; the observation
+    // rides the same job (rows + how many docs were folded into another)
+    val obs = new org.apache.spark.sql.Observation()
+    import org.apache.spark.sql.functions._
+    clusters.observe(obs, count(lit(1)).as("n"),
+        sum(when($"doc_id" =!= $"canonical_id", 1L).otherwise(0L)).as("dups"))
+      .write.format("noop").mode("overwrite").save()
+    (obs.get("n").asInstanceOf[Long], obs.get("dups").asInstanceOf[Long])
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "stage" :: dir :: pages :: Nil =>
       val n = pages.toLong
@@ -95,6 +154,35 @@ object ScalingBench {
         .repartition(128) // enough splits for the widest level
         .write.mode("overwrite").parquet(dir)
       println(s"""{"staged":"$dir","pages":$n}""")
+      s.stop()
+
+    case "stage-dedup" :: dir :: docs :: Nil =>
+      val n = docs.toLong
+      val s = session(32)
+      import s.implicits._
+      s.range(n).as[Long]
+        .map(id => (id, dedupDocText(id)))
+        .toDF("doc_id", "text")
+        .repartition(128)
+        .write.mode("overwrite").parquet(dir)
+      println(s"""{"staged":"$dir","docs":$n,"mode":"dedup"}""")
+      s.stop()
+
+    case "run-dedup" :: dir :: cores :: Nil =>
+      val c = cores.toInt
+      val s = session(c)
+      graft.bench.StageMetrics.installIfRequested(s.sparkContext, System.out)
+      // untimed warm-up: JIT + codegen over the same operator shapes
+      val warm = Files.createTempDirectory("graft_scaling_dwarm_").toString
+      import s.implicits._
+      s.range(2000L).as[Long].map(id => (id, dedupDocText(id)))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(warm)
+      runDedup(s, warm)
+      val nDocs = s.read.parquet(dir).count()
+      val t0 = System.nanoTime()
+      val (rows, dups) = runDedup(s, dir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"level":"local[$c]","mode":"dedup","cores":$c,"seconds":$sec%.2f,"docs":$nDocs,"cluster_rows":$rows,"folded_dups":$dups,"docs_per_sec":${nDocs / sec}%.1f}""")
       s.stop()
 
     case "run" :: dir :: cores :: Nil =>
@@ -115,7 +203,8 @@ object ScalingBench {
 
     case _ =>
       System.err.println(
-        "usage: ScalingBench stage <dir> <pages> | ScalingBench run <dir> <cores>")
+        "usage: ScalingBench stage <dir> <pages> | ScalingBench run <dir> <cores>" +
+          " | ScalingBench stage-dedup <dir> <docs> | ScalingBench run-dedup <dir> <cores>")
       sys.exit(2)
   }
 }

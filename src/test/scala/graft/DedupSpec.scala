@@ -340,6 +340,32 @@ class DedupSpec extends SparkSpec {
     assert(brute.intersect(ivf).size.toDouble / brute.size >= 0.8)
   }
 
+  test("ScalingBench dedup corpus: nearDupClusters recovers the by-construction structure") {
+    import spark.implicits._
+    val n = 4000L
+    val docs = spark.range(n).as[Long]
+      .map(id => (id, graft.ScalingBench.dedupDocText(id)))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, threshold = 0.7)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(clusters.count() === n) // one row per doc
+      // per 8-doc group: 2 perturbed members fold into the base (±edge
+      // effects where the boilerplate cluster hijacks a group member);
+      // the %997 boilerplate docs fold into one cluster
+      val folded = clusters.filter($"doc_id" =!= $"canonical_id").count()
+      assert(folded >= 950 && folded <= 1050, s"folded=$folded")
+      val boilerCanon = clusters.filter($"doc_id" % 997 === 0)
+        .select($"canonical_id").distinct().count()
+      assert(boilerCanon === 1L, "exact-dup boilerplate must collapse to ONE cluster")
+      // unrelated members (3-7 of each group, %997 excluded) stay singletons
+      val strays = clusters
+        .filter($"doc_id" % 8 >= 3 && $"doc_id" % 997 =!= 0 &&
+          $"doc_id" =!= $"canonical_id").count()
+      assert(strays === 0L, s"$strays unrelated docs were folded")
+    } finally clusters.unpersist(blocking = false)
+  }
+
   test("key-space sizing is wired, not advisory: AutoBits derives from the corpus, undersized explicit bits trip the guard") {
     import spark.implicits._
     val dim = 4
