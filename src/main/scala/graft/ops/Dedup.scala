@@ -43,6 +43,10 @@ object Dedup {
     * recall on a 10^9-vector corpus indexed with fixture defaults.
     */
   private[ops] def requireKeySpace(n: Long, bits: Int, maxBucket: Int, what: String): Unit = {
+    // 1L << 63 is negative (guard silently disarms) and Java shifts are
+    // mod 64 (bits=64 would "see" a 1-key space) — the guard exists to
+    // validate EXPLICIT caller bits, so validate the bits themselves too
+    require(bits > 0 && bits < 63, s"$what: bits=$bits out of (0, 63)")
     val occ = n.toDouble / (1L << bits).toDouble
     require(occ <= maxBucket.toDouble,
       f"$what: $n%d vectors over a $bits-bit key space put expected bucket " +
@@ -463,10 +467,7 @@ object Dedup {
     graft.functions.Registry.ensure(spark)
     Similarity.vecDim(embeddings, vecCol) match {
       case None => // empty input → no candidates, not a head() throw
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "id_a BIGINT, id_b BIGINT"))
+        graft.util.Frames.empty(spark, "id_a BIGINT, id_b BIGINT")
       case Some(dim) =>
         // keys via the codegen LshKeys Expression (same plane family as
         // LshIndex/Similarity — THE single key definition)

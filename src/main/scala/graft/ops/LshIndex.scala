@@ -57,9 +57,18 @@ object LshIndex {
   /** Resolve [[AutoParams]] at probe time against the index's recorded
     * geometry; explicit params pass through (mismatched explicit params
     * are the caller's contract to keep — specs pass the build params).
+    * An index persisted BEFORE geometry recording existed has no
+    * `_params` — fall back to the historical default `Params()` those
+    * builds used, instead of failing the probe on a missing path.
     */
   private def resolveProbe(spark: SparkSession, dir: String, p: Params): Params =
-    if (p.bits != Dedup.AutoBits) p else loadParams(spark, dir)
+    if (p.bits != Dedup.AutoBits) p
+    else {
+      val pp = new org.apache.hadoop.fs.Path(s"$dir/_params")
+      if (pp.getFileSystem(spark.sessionState.newHadoopConf()).exists(pp))
+        loadParams(spark, dir)
+      else Params() // legacy index: pre-recording builds used the defaults
+    }
 
   /** Partition fan-out guard: 2^bits keys per table would explode the
     * directory count, so keys are grouped into key-buckets for the
@@ -102,10 +111,7 @@ object LshIndex {
     graft.functions.Registry.ensure(spark)
     Similarity.vecDim(embeddings, vecCol) match {
       case None => // empty input → empty signatures, not a head() throw
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "tbl INT, key BIGINT, id BIGINT"))
+        graft.util.Frames.empty(spark, "tbl INT, key BIGINT, id BIGINT")
       case Some(dim) =>
         embeddings
           .select(col(idCol).cast("long").as("id"),
@@ -129,6 +135,10 @@ object LshIndex {
     // corpus has outgrown floods every bucket and a probe's candidate
     // set degenerates toward the whole table (VERDICT r04 #2)
     val n = embeddings.count()
+    // an empty build would write keys/vectors dirs with no parquet files
+    // and every later probe would die on schema inference, far from the
+    // cause — fail HERE, where the mistake is
+    require(n > 0, "LshIndex.build: embeddings input is empty")
     val eff =
       if (p.bits == Dedup.AutoBits) p.copy(bits = Dedup.recommendedBits(n))
       else { Dedup.requireKeySpace(n, p.bits, Dedup.DefaultMaxBucket, "LshIndex.build"); p }

@@ -150,39 +150,63 @@ object MediaCodecs {
     b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
-  /** JPEG/GIF decode through `javax.imageio` — public JDK API, no
-    * external codec library, so these two formats move from the stub
-    * seam to REAL decode (VERDICT r04 #7). Returns (width, height,
-    * channels, frames); frames counts GIF animation frames.
+  /** Decompression-bomb cap: header-declared geometry above this pixel
+    * count routes the blob to the stub instead of letting a few-KB GIF
+    * declaring 65535×65535 allocate ~17 GB in `read(0)` — an
+    * OutOfMemoryError is an Error the decodeBatch fallback does NOT
+    * catch, so without the cap a crafted blob kills the executor task
+    * (the same header-vs-payload discipline as [[parsePpm]]).
     */
-  def decodeImageIo(b: Array[Byte]): (Int, Int, Int, Int) = {
+  val MaxImagePixels: Long = 64L * 1024 * 1024
+
+  private def imageReader[T](b: Array[Byte])(
+      f: javax.imageio.ImageReader => T): T = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(b))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       require(readers.hasNext, "no ImageIO reader recognizes this blob")
       val r = readers.next()
-      try {
-        r.setInput(iis)
-        val w = r.getWidth(0)
-        val h = r.getHeight(0)
-        // allowSearch=true walks the stream for the true frame count
-        // (animated GIF); JPEG readers return 1
-        val frames =
-          try math.max(1, r.getNumImages(true))
-          catch { case _: java.io.IOException => 1 }
-        val img = r.read(0)
-        (w, h, img.getColorModel.getNumComponents, frames)
-      } finally r.dispose()
+      try { r.setInput(iis); f(r) } finally r.dispose()
     } finally iis.close()
   }
 
+  private def checkedDims(r: javax.imageio.ImageReader): (Int, Int) = {
+    val w = r.getWidth(0)
+    val h = r.getHeight(0)
+    require(w > 0 && h > 0 && w.toLong * h <= MaxImagePixels,
+      s"absurd image geometry ${w}x$h")
+    (w, h)
+  }
+
+  /** JPEG/GIF decode through `javax.imageio` — public JDK API, no
+    * external codec library, so these two formats move from the stub
+    * seam to REAL decode (VERDICT r04 #7). Returns (width, height,
+    * channels, frames); frames counts GIF animation frames. Metadata
+    * only — no pixel decode (channels come from the reader's image
+    * type), so cost is header-bounded.
+    */
+  def decodeImageIo(b: Array[Byte]): (Int, Int, Int, Int) =
+    imageReader(b) { r =>
+      val (w, h) = checkedDims(r)
+      // allowSearch=true walks the stream for the true frame count
+      // (animated GIF); JPEG readers return 1
+      val frames =
+        try math.max(1, r.getNumImages(true))
+        catch { case _: java.io.IOException => 1 }
+      val types = r.getImageTypes(0)
+      val channels =
+        if (types.hasNext) types.next().getColorModel.getNumComponents else 3
+      (w, h, channels, frames)
+    }
+
   /** Mean R/G/B over the first frame via the sRGB view (palette GIFs and
     * JPEG subsampling included) — the feature-math twin of
-    * [[meanChannels]] for the imageio formats.
+    * [[meanChannels]] for the imageio formats. The pixel decode happens
+    * here (and only here), behind the same geometry cap.
     */
   def imageIoMeanChannels(b: Array[Byte]): Array[Double] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val img = imageReader(b) { r => checkedDims(r); r.read(0) }
     require(img != null, "ImageIO could not decode blob")
     val sums = new Array[Long](3)
     var y = 0

@@ -164,11 +164,12 @@ object Similarity {
     * (table, key).
     *
     * `bits = Dedup.AutoBits` (0) sizes the key space from a corpus count
-    * ([[Dedup.recommendedBits]]); explicit bits are validated against
-    * key-space saturation (expected occupancy ≤ [[Dedup.DefaultMaxBucket]])
-    * — on this one-shot path saturation degrades candidates toward the
-    * whole corpus rather than dropping pairs, but the fix (more bits) is
-    * the same, so the guard fails loudly here too.
+    * ([[Dedup.recommendedBits]]) — one extra narrow evaluation of the
+    * embeddings plan, paid ONLY on the auto path. Explicit bits are the
+    * caller's contract (no per-probe count: this is the per-query
+    * one-shot path, and on it saturation degrades candidates toward the
+    * whole corpus — a perf falloff, not the silent recall loss the
+    * banded paths guard against).
     */
   def lshTopK(
       embeddings: DataFrame,
@@ -182,10 +183,9 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.Registry.ensure(spark)
-    val n = embeddings.count() // column-pruned; sizes or validates the key space
     val effBits =
-      if (bits == Dedup.AutoBits) Dedup.recommendedBits(n)
-      else { Dedup.requireKeySpace(n, bits, Dedup.DefaultMaxBucket, "lshTopK"); bits }
+      if (bits == Dedup.AutoBits) Dedup.recommendedBits(embeddings.count())
+      else bits
     val dim = query.length
     val planes = randomPlanes(tables * effBits, dim, seed)
     val queryKeys = (0 until tables).map(t => lshKey(planes, query, t, effBits))

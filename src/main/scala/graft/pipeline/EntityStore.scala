@@ -98,9 +98,7 @@ final class EntityStore(val root: String, spark: SparkSession,
   private def table(v: Long, name: String, schemaDDL: String): DataFrame = {
     val dir = new HPath(versionDir(v), name)
     if (v == 0L || !sfs.exists(dir))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+      graft.util.Frames.empty(spark, schemaDDL)
     else spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
       .parquet(dir.toString)

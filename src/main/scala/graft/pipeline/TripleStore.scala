@@ -307,8 +307,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * UNRESOLVED_COLUMN where the identical code works after one commit.
     */
   private def emptyStored(): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storedSchema)
+    graft.util.Frames.empty(spark, storedSchema.toDDL)
 
   /** The incremental anti-join (J1/J2): pages whose url has NO committed
     * triple with `pred` — Spark's first-class left_anti replaces the

@@ -16,16 +16,20 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, FileUtil, Options, Path}
   * the first thing a 100 TB deployment hits (VERDICT r04 missing #1).
   *
   * ATOMIC-RENAME CONTRACT per scheme (what [[writeStringAtomic]] — the
-  * commit/pointer publication primitive — actually guarantees):
+  * commit/pointer publication primitive — actually guarantees). This
+  * matters beyond crash-safety: the `_latest` version pointers publish
+  * strictly increasing content, so a reader racing a non-atomic replace
+  * would see a MISSING pointer (= version 0 = empty store), not stale
+  * content — publication must be atomic-replace, not delete+rename:
   *
+  *   - local / `file://`: `java.nio` `Files.move(ATOMIC_MOVE,
+  *     REPLACE_EXISTING)` — rename(2), atomic including over an existing
+  *     destination (the pre-portability behavior, kept as a fast path;
+  *     Hadoop's local `FileContext` OVERWRITE rename would
+  *     delete-then-rename, opening exactly the missing-pointer window).
   *   - `hdfs://`: `FileContext.rename(OVERWRITE)` is atomic in the
   *     NameNode, including over an existing destination. Full
   *     crash-consistency, concurrent readers see old or new, never torn.
-  *   - local / `file://`: rename(2) is atomic; the OVERWRITE path on an
-  *     EXISTING destination may delete-then-rename (a tiny
-  *     missing-file window). All overwrite call sites here are
-  *     idempotent retries re-publishing identical content, so a reader
-  *     racing the window re-reads and sees the same state.
   *   - `s3a://`: S3 has no rename — the "rename" is copy+delete and is
   *     NOT atomic, and `FileContext` for s3a may not be registered at
   *     all. Running the stores directly against s3a therefore downgrades
@@ -85,7 +89,16 @@ final class StoreFs(val root: String, conf: Configuration) {
   def writeStringAtomic(dst: Path, content: String, tmpName: String): Unit = {
     val tmp = new Path(dst.getParent, tmpName)
     writeString(tmp, content)
-    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    if (isLocal)
+      // atomic-REPLACE on the local scheme: Hadoop's local FileContext
+      // implements OVERWRITE as delete-then-rename, which would expose a
+      // missing-pointer window to concurrent readers (and a crash inside
+      // it would orphan every previous version — the retry would rebuild
+      // v=1 from scratch). rename(2) replaces atomically.
+      java.nio.file.Files.move(localPath(tmp), localPath(dst),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
   def delete(p: Path, recursive: Boolean): Boolean = fs.delete(p, recursive)

@@ -387,6 +387,18 @@ class DedupSpec extends SparkSpec {
         graft.ops.LshIndex.Params(bits = 1))
     }
     assert(e2.getMessage.contains("recommendedBits"))
+    // bits=63 would make 1L<<bits negative and silently DISARM the guard;
+    // out-of-range bits are themselves rejected
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(df, bits = 63)
+    }
+    // an empty build must fail loudly, not write a probe-killing half-index
+    val emptyE = intercept[IllegalArgumentException] {
+      graft.ops.LshIndex.build(
+        spark.emptyDataFrame.selectExpr("1L as vec_id", "array(1.0) as embedding"),
+        "/tmp/never_written_lsh2")
+    }
+    assert(emptyE.getMessage.contains("empty"))
     // AutoBits: index records its derived geometry; default probes use it
     val dir = java.nio.file.Files.createTempDirectory("graft_lshauto_").toString
     graft.ops.LshIndex.build(df, dir) // AutoParams default

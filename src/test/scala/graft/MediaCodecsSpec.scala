@@ -182,4 +182,34 @@ class MediaCodecsSpec extends SparkSpec {
     assert((got(2L).width, got(2L).height) === ((5, 4)))
     assert(got(3L).n_bytes === 8L) // stub fallback still yields real length
   }
+
+  test("decompression-bomb guard: absurd declared geometry routes to the stub, never read(0)") {
+    // minimal valid 1x1 GIF (hand-assembled; image descriptor w/h at 32-35)
+    val tiny = Array(
+      0x47, 0x49, 0x46, 0x38, 0x39, 0x61, // GIF89a
+      0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00, // logical screen 1x1
+      0x00, 0x00, 0x00, 0xFF, 0xFF, 0xFF, // 2-entry palette
+      0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, 0x00, 0x00, // GCE
+      0x2C, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00, // descriptor
+      0x02, 0x02, 0x44, 0x01, 0x00, 0x3B).map(_.toByte)
+    val (tw, th, tc, tf) = MediaCodecs.decodeImageIo(tiny)
+    assert((tw, th, tf) === ((1, 1, 1)))
+    assert(tc >= 3) // GCE transparency → RGBA color model
+    // same bytes declaring 20675x20675 (~427M pixels): a read(0) would
+    // allocate gigabytes; the guard rejects on the header alone
+    val bomb = tiny.clone()
+    for ((off, v) <- Seq(6 -> 0xC3, 7 -> 0x50, 8 -> 0xC3, 9 -> 0x50,
+        32 -> 0xC3, 33 -> 0x50, 34 -> 0xC3, 35 -> 0x50))
+      bomb(off) = v.toByte
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeImageIo(bomb))
+    assert(e.getMessage.contains("geometry"))
+    intercept[IllegalArgumentException](MediaCodecs.imageIoMeanChannels(bomb))
+    // and the batched decoder falls back to the stub instead of dying
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val got = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(7L, bomb, Multimodal.MediaMeta("image", 0, 0))).toDS())
+      .collect().head
+    assert(got.n_bytes === bomb.length.toLong)
+  }
 }
