@@ -35,11 +35,50 @@ object CleanTextImpl {
     }
 
   /** Entry point referenced from generated code. Null-in → handled by the
-    * expression wrapper; empty-in → empty-out.
+    * expression wrapper; empty-in → empty-out. Delegates to the String
+    * twin — one decode here, one encode at the end; the char passes are
+    * shared with the scalar hot path.
     */
-  def clean(u: UTF8String): UTF8String = {
-    // identical lowering to Catalyst's lower()
-    val lowered = u.toLowerCase.toString
+  def clean(u: UTF8String): UTF8String =
+    UTF8String.fromString(cleanString(u.toString))
+
+  /** Replicates `UTF8String.toLowerCase` EXACTLY on a String: full-ASCII
+    * inputs lower bytewise A-Z (locale-independent — under e.g. a
+    * Turkish default locale `String.toLowerCase` would map ASCII 'I' to
+    * dotless 'ı' while the UTF8String ASCII fast path gives 'i');
+    * anything non-ASCII takes the same `String.toLowerCase()` the
+    * UTF8String slow path takes. Keeping this bit-identical is what lets
+    * the scalar hot path skip the UTF8String container without breaking
+    * Column ≡ scalar parity (fuzz-pinned).
+    */
+  private def lowerLikeUtf8(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (i < s.length && ascii) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (!ascii) s.toLowerCase()
+    else {
+      val buf = new Array[Char](s.length)
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        buf(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        j += 1
+      }
+      new String(buf)
+    }
+  }
+
+  /** String→String scalar twin used by the fused analyzer
+    * ([[graft.pipeline.KgPipeline.analyze]]) — skips the two UTF-8
+    * encode/decode round trips the UTF8String container cost on a path
+    * whose input and consumers (trie NER, topic scoring) are Strings.
+    * Char-identical to [[clean]] by construction (clean delegates here).
+    */
+  def cleanString(s: String): String = {
+    val lowered = lowerLikeUtf8(s)
     val n = lowered.length
     val buf = new Array[Char](n)
     // pass 1: collapse whitespace runs to single ASCII space
@@ -70,11 +109,11 @@ object CleanTextImpl {
       }
     }
     // strip (only ' ' can remain at the edges)
-    var s = 0
+    var st = 0
     var e = q
-    while (s < e && buf(s) == ' ') s += 1
-    while (e > s && buf(e - 1) == ' ') e -= 1
-    UTF8String.fromString(new String(buf, s, e - s))
+    while (st < e && buf(st) == ' ') st += 1
+    while (e > st && buf(e - 1) == ' ') e -= 1
+    new String(buf, st, e - st)
   }
 }
 

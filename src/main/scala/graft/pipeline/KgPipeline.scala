@@ -197,8 +197,11 @@ object KgPipeline {
           val extracted = graft.functions.HtmlStripper.strip(
             if (html == null) ""
             else new String(html, java.nio.charset.StandardCharsets.UTF_8))
-          val clean = graft.functions.CleanTextImpl.clean(
-            org.apache.spark.unsafe.types.UTF8String.fromString(extracted)).toString
+          // String-twin clean: skips the UTF8String encode/decode round
+          // trips (2 full-text copies/page) the Column container costs —
+          // char-identical to the CleanText expression (clean() delegates
+          // to cleanString(); Column ≡ scalar stays fuzz-pinned)
+          val clean = graft.functions.CleanTextImpl.cleanString(extracted)
           val counts =
             scala.collection.mutable.HashMap.empty[(String, String, String), Long]
           NerExtractor.detect(t, url, clean, keep, lang).foreach { m =>

@@ -158,6 +158,21 @@ class PlanSpec extends SparkSpec {
     assert(!semi.get.left.toString.contains("xxhash64"),
       s"shingle computation below the candidate semi-join:\n${semi.get.left}")
     assert(sets.count() === 2L, "only candidate docs get shingled")
+    // the verify stage evaluates that pruned shingle pass ONCE: the old
+    // id_a/id_b join pair inlined it twice with different exchange keys
+    // (ReuseExchange can't fire across them — VERDICT r04 #4); the
+    // melted single-join shape leaves exactly one semi-join (= one
+    // shingle subtree) in the whole verified plan
+    val verified = graft.ops.Dedup.verifyJaccard(
+      docs, candidates, threshold = 0.0, "doc_id", "text", 3)
+    val semis = verified.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size === 1,
+      s"shingle pass inlined ${semis.size} times:\n${verified.queryExecution.optimizedPlan}")
+    assert(verified.select("id_a", "id_b").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
   }
 
   test("q27 slice: every window is partitioned (no single-task global sort)") {
