@@ -51,15 +51,33 @@ object IvfIndex {
   def nearestCell(centroids: Array[Array[Double]], v: Array[Double]): Int =
     graft.functions.DedupSigImpl.nearestCells(v, centroids, 1)(0)
 
+  /** The quantizer an index at `dir` was built with — written by
+    * [[build]] (an underscore-prefixed sibling, invisible to the cell
+    * partition discovery). Probes default to it, so an index can never
+    * be probed with drifted centroids — the same geometry-recording
+    * contract [[LshIndex]]'s `_params` provides.
+    */
+  def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    spark.read.parquet(s"$dir/_centroids")
+      .select(col("cell"), col("c")).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+  }
+
+  private def resolveCentroids(spark: SparkSession, dir: String,
+      cents: Array[Array[Double]]): Array[Array[Double]] =
+    if (cents != null) cents else loadCentroids(spark, dir)
+
   /** Assign every vector to its nearest centroid and write the index
     * partitioned by cell (one file per cell dir). Cell routing is the
     * codegen [[graft.functions.IvfCells]] Expression — the build pass
-    * stays inside WholeStageCodegen like the LSH index build.
+    * stays inside WholeStageCodegen like the LSH index build. The
+    * centroids are recorded IN the index (see [[loadCentroids]]).
     */
   def build(embeddings: DataFrame, dir: String,
       centroids: Array[Array[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = embeddings.sparkSession
+    import spark.implicits._
     graft.functions.Registry.ensure(spark)
     embeddings
       .select(
@@ -69,17 +87,23 @@ object IvfIndex {
         col(vecCol).cast("array<double>").as("v"))
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(dir)
+    // AFTER the index write: Overwrite truncates `dir`, so the recorded
+    // quantizer must land once the cells are in place
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_centroids")
   }
 
   /** Probe the `nprobe` cells nearest the query; exact-rank candidates
     * by cosine. Partition pruning keeps the scan to those directories.
     */
   def topK(spark: SparkSession, dir: String, query: Array[Double],
-      centroids: Array[Array[Double]],
+      centroids: Array[Array[Double]] = null, // null → the build's recorded quantizer
       k: Int = 10, nprobe: Int = 4,
       excludeId: Option[Long] = None,
       idCol: String = "vec_id"): DataFrame = {
-    val cells = graft.functions.DedupSigImpl.nearestCells(query, centroids, nprobe)
+    val cents = resolveCentroids(spark, dir, centroids)
+    val cells = graft.functions.DedupSigImpl.nearestCells(query, cents, nprobe)
     val base = spark.read.parquet(dir)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     val cands = excludeId.map(id => base.filter(col("id") =!= id)).getOrElse(base)
@@ -103,17 +127,18 @@ object IvfIndex {
     * identical to [[topK]].
     */
   def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
-      centroids: Array[Array[Double]],
+      centroids: Array[Array[Double]] = null, // null → the build's recorded quantizer
       k: Int = 10, nprobe: Int = 4,
       excludeSelf: Boolean = false,
       queryIdCol: String = "query_id", vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     import spark.implicits._
     graft.functions.Registry.ensure(spark)
+    val cents = resolveCentroids(spark, dir, centroids)
     val qvs = queries.select(col(queryIdCol).cast("long").as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
     val qcells = qvs.select($"qid",
-      explode(graft.functions.Registry.ivfCells($"qv", centroids, nprobe))
+      explode(graft.functions.Registry.ivfCells($"qv", cents, nprobe))
         .as("cell"))
     val index = spark.read.parquet(dir).select($"cell", $"id", $"v")
     val cands0 = qcells.join(index, Seq("cell")).select($"qid", $"id", $"v")

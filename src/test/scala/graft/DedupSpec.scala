@@ -307,6 +307,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF index records its quantizer: default probes use the build centroids") {
+    import spark.implicits._
+    val dim = 8
+    val rng = new java.util.Random(23)
+    val rows = (0 until 150).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = graft.ops.IvfIndex.train(df, graft.ops.IvfIndex.Params(cells = 5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfrec_").toString
+    graft.ops.IvfIndex.build(df, dir, cents)
+    val loaded = graft.ops.IvfIndex.loadCentroids(spark, dir)
+    assert(loaded.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    val q = rows(5)._2.map(_.toDouble)
+    val explicitP = graft.ops.IvfIndex.topK(spark, dir, q, cents, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val recorded = graft.ops.IvfIndex.topK(spark, dir, q, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(recorded === explicitP)
+    val queries = Seq((5L, rows(5)._2)).toDF("query_id", "embedding")
+    val batchRec = graft.ops.IvfIndex.topKBatch(spark, dir, queries, k = 5, nprobe = 2)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toSet
+    val batchExp = graft.ops.IvfIndex.topKBatch(spark, dir, queries, cents, k = 5, nprobe = 2)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toSet
+    assert(batchRec === batchExp)
+  }
+
   test("IVF quantizer sample is unbiased under skewed file order") {
     import spark.implicits._
     // three well-separated clusters laid out CLUSTER-MAJOR in one
