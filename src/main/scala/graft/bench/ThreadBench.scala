@@ -3,7 +3,6 @@ import java.util.concurrent.atomic.AtomicLong
 import graft.fixtures.PageGen
 import graft.functions.{CleanTextImpl, HtmlStripper}
 import graft.ner.{FixtureGazetteer, NerExtractor}
-import org.apache.spark.unsafe.types.UTF8String
 
 object ThreadBench {
   def main(args: Array[String]): Unit = {
@@ -17,7 +16,9 @@ object ThreadBench {
         val g = PageGen.generate(tid * perThread + i)
         val html = new String(g.html, java.nio.charset.StandardCharsets.UTF_8)
         val text = HtmlStripper.strip(html)
-        val clean = CleanTextImpl.clean(UTF8String.fromString(text)).toString
+        // the String-twin clean — models the fused analyzer's actual hot
+        // path (the UTF8String round trip it used to measure is gone)
+        val clean = CleanTextImpl.cleanString(text)
         val ms = NerExtractor.detect(trie, g.url, clean, Some(FixtureGazetteer.keepLabels)).size
         val a = graft.topics.TopicScorer.score(params, g.url, clean)
         acc += ms + a.id_topic

@@ -252,9 +252,13 @@ object Dedup {
     // melt each pair into its two (pair, side, id) legs, join the sets
     // ONCE on id, and fold the legs back per pair. Shuffle volume is
     // unchanged (the old second join also shuffled the shingle arrays);
-    // the shingle computation halves. `first(ignoreNulls)` per side is
-    // deterministic: a (id_a, id_b) group holds exactly one a-leg and
-    // one b-leg, so each conditional has one non-null candidate.
+    // the shingle computation halves. CONTRACT: output is one row per
+    // DISTINCT surviving (id_a, id_b) — every in-repo candidate source
+    // (cappedPairs) is already distinct; a caller passing duplicate
+    // pairs gets them verified once, not once per copy. `first(
+    // ignoreNulls)` per side is deterministic: all of a group's a-legs
+    // (and b-legs) join the same sets row, so each conditional has one
+    // distinct non-null value regardless of multiplicity.
     val melted = candidates.select($"id_a", $"id_b",
         explode(array(
           struct(lit("a").as("side"), $"id_a".as("id")),

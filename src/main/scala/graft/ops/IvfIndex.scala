@@ -55,17 +55,39 @@ object IvfIndex {
     * [[build]] (an underscore-prefixed sibling, invisible to the cell
     * partition discovery). Probes default to it, so an index can never
     * be probed with drifted centroids — the same geometry-recording
-    * contract [[LshIndex]]'s `_params` provides.
+    * contract [[LshIndex]]'s `_params` provides. A missing sidecar (an
+    * index persisted before recording existed, or a build that crashed
+    * between the cell write and this one) is an EXPLICIT error naming
+    * the fix — unlike LshIndex there is no meaningful default quantizer
+    * to fall back to.
     */
   def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_centroids")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      throw new IllegalStateException(
+        s"no recorded quantizer at $dir/_centroids (legacy or half-written " +
+          "index): pass the training centroids explicitly, or rebuild")
     spark.read.parquet(s"$dir/_centroids")
       .select(col("cell"), col("c")).orderBy(col("cell"))
       .collect().map(_.getSeq[Double](1).toArray)
   }
 
+  /** Per-dir memo of the recorded quantizer: the sidecar is immutable
+    * for a given build, and an ad-hoc prober in a loop must not pay a
+    * read+sort+collect job per probe just to re-load it. [[build]]
+    * refreshes the entry, so an in-process rebuild cannot serve stale
+    * centroids.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
   private def resolveCentroids(spark: SparkSession, dir: String,
       cents: Array[Array[Double]]): Array[Array[Double]] =
-    if (cents != null) cents else loadCentroids(spark, dir)
+    // null (the default) = "use the quantizer recorded in the index" —
+    // always correct for that index by construction; explicit centroids
+    // exist for legacy sidecar-less indexes and to skip the load
+    if (cents != null) cents
+    else centroidCache.getOrElseUpdate(dir, loadCentroids(spark, dir))
 
   /** Assign every vector to its nearest centroid and write the index
     * partitioned by cell (one file per cell dir). Cell routing is the
@@ -92,6 +114,7 @@ object IvfIndex {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "c")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_centroids")
+    centroidCache.put(dir, centroids) // refresh any in-process memo
   }
 
   /** Probe the `nprobe` cells nearest the query; exact-rank candidates
