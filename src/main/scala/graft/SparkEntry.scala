@@ -681,6 +681,45 @@ object SparkEntry {
       graft.topics.TopicTerms.representativeTexts(cleaned, params,
           k = 3, maxLen = 60)
         .orderBy(col("id_topic"), col("rank"))
+    }),
+    "q46_predicated_delete" -> ((s, d) => {
+      // S7 predicated delete end-to-end (reference overwrite-delete,
+      // db_io.py delete paths): two batches committed, then a COW
+      // deleteWhere whose predicate (a) hits only SOME rows of each
+      // batch and (b) evaluates NULL on the null-obj rows — those must
+      // be RETAINED (deleteWhere's coalesce(cond, false) contract). The
+      // oracle restates survivors with the same NULL semantics.
+      val root = scratchDir("graft_q46_")
+      val store = new TripleStore(root, s)
+      val base = docs(s, d)
+      val t = base.select(
+        col("doc_id").cast("string").as("subj"),
+        lit("fromSource").as("pred"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("source")).as("obj"),
+        col("lang"))
+        .unionByName(base.select(
+          col("doc_id").cast("string").as("subj"),
+          lit("hasLang").as("pred"),
+          col("lang").as("obj"),
+          col("lang")))
+      store.commit("b1", t.filter(col("subj").cast("long") % 2 === 0))
+      store.commit("b2", t.filter(col("subj").cast("long") % 2 =!= 0))
+      store.deleteWhere(
+        col("pred") === "fromSource" && col("obj").isin("src1", "src7", "src13"))
+      store.committed()
+        .select(col("subj").cast("long").as("doc_id"), col("pred"),
+          col("obj"), col("lang"))
+        .orderBy(col("doc_id"), col("pred"))
+    }),
+    "q47_stream_first_seen" -> ((s, d) => {
+      // Streaming first-seen dedup (J2's Structured-Streaming analogue)
+      // made value-deterministic: per-week micro-batches in
+      // chronological order, emitted value = the key's first bucket ≡
+      // GROUP BY min — see StreamingDedup.streamFirstSeenBucket.
+      val name = s"stream_first_seen_${System.nanoTime()}"
+      graft.streaming.StreamingDedup.streamFirstSeenBucket(
+        s, s"$d/events.parquet", name, scratchDir("graft_q47_"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1266,6 +1305,27 @@ object SparkEntry {
                 coalesce(title, '') || '. ' || coalesce(content, '') AS batch_text,
                 CASE WHEN title IS NOT NULL AND length(title) > 0
                      THEN title || '. ' || coalesce(content, '') ELSE content END AS api_text
-         FROM t ORDER BY c_custkey"""
+         FROM t ORDER BY c_custkey""",
+    "q46_predicated_delete" ->
+      // survivors of deleteWhere(pred='fromSource' AND obj IN (...)):
+      // NULL-evaluating rows are retained (coalesce(cond, false))
+      """WITH t AS (
+           SELECT doc_id, 'fromSource' AS pred,
+                  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS obj,
+                  lang
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 'hasLang', lang, lang FROM documents)
+         SELECT doc_id, pred, obj, lang FROM t
+         WHERE NOT coalesce(
+           pred = 'fromSource' AND obj IN ('src1', 'src7', 'src13'), false)
+         ORDER BY doc_id, pred""",
+    "q47_stream_first_seen" ->
+      // chronological micro-batches → first-seen bucket ≡ min(bucket);
+      // epoch_us // (604800 * 1e6) = floor(epoch_sec / 604800) exactly
+      // (positive epochs; floor(floor(x)/W) = floor(x/W) for integer W)
+      """SELECT user_id,
+                min(CAST(epoch_us(ts) // 604800000000 AS BIGINT)) AS first_bucket
+         FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Streaming first-seen-only pass-through: emit each key's FIRST row ever
   * (across all micro-batches), drop every later occurrence — the
@@ -46,5 +48,66 @@ object StreamingDedup {
             rows.take(1).map { case (_, v) => (key, v) }
           }
       }
+  }
+
+  /** Deterministic end-to-end [[firstSeen]] run over a parquet events
+    * table, oracle-expressible as `GROUP BY user_id → min(bucket)`.
+    *
+    * [[firstSeen]]'s `rows.take(1)` is order-nondeterministic WITHIN a
+    * micro-batch, so a value-level oracle needs every row of a key inside
+    * one micro-batch to carry the SAME value. This helper arranges that:
+    * events are staged one file per coarse time bucket
+    * (`floor(epoch(ts) / bucketSeconds)`), file mtimes strictly increase
+    * in bucket order, and the stream reads with `maxFilesPerTrigger=1` —
+    * the file source processes oldest-mtime first, so micro-batches
+    * arrive in chronological bucket order and the emitted value per key
+    * is exactly `min(bucket)`. This is the J2 "process a url once"
+    * contract made observable: which batch first saw the key.
+    *
+    * Scale: the per-bucket staging loop is bounded by time-span /
+    * bucketSeconds (independent of row count); a production deployment
+    * reads an already-time-partitioned stream and skips staging entirely.
+    */
+  def streamFirstSeenBucket(
+      spark: SparkSession,
+      parquetPath: String,
+      queryName: String,
+      scratchDir: String,
+      bucketSeconds: Long = 604800L): DataFrame = {
+    import spark.implicits._
+    val ev = spark.read.parquet(parquetPath)
+      .select(col("user_id").cast("long").as("user_id"),
+        // session TZ pinned UTC: the NTZ→TZ cast is value-preserving
+        floor(unix_timestamp(col("ts").cast("timestamp")) / bucketSeconds)
+          .cast("long").as("bucket"))
+    val base = java.nio.file.Paths.get(scratchDir)
+    val streamDir = base.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    val buckets = ev.select(col("bucket")).distinct()
+      .orderBy(col("bucket")).as[Long].collect()
+    buckets.zipWithIndex.foreach { case (b, i) =>
+      val part = base.resolve(s"part_$i")
+      ev.filter(col("bucket") === b).coalesce(1)
+        .write.parquet(part.toString)
+      val src = part.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head.toPath
+      val dst = streamDir.resolve(f"events_$i%05d.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(StructType.fromDDL("user_id BIGINT, bucket BIGINT"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val deduped = firstSeen(
+      stream.select(col("user_id").cast("string"), col("bucket")).as[(String, Long)])
+    val q = deduped.toDF("user_key", "first_bucket")
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select(col("user_key").cast("long").as("user_id"), col("first_bucket"))
   }
 }

@@ -30,4 +30,30 @@ class StreamingDedupSpec extends SparkSpec {
       assert(spark.table("dedup_out").count() === 3L)
     } finally q.stop()
   }
+
+  test("streamFirstSeenBucket emits each key's min bucket (chronological batches)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // keys spanning several weekly buckets, incl. one key whose rows sit
+    // ONLY in late buckets and one present in every bucket; second run
+    // must be identical (within-batch take(1) made value-deterministic)
+    val day = 86400L
+    val rows = Seq(
+      (1L, 0L), (1L, 8L), (1L, 16L), (1L, 24L), // every week
+      (2L, 9L), (2L, 25L), // first seen week 1
+      (3L, 26L), // only the last week
+      (4L, 2L), (4L, 3L) // twice in week 0
+    ).map { case (u, d) =>
+      (u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(d * day + 7L)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfs_spec_").toString
+    rows.toDF("user_id", "ts").write.parquet(s"$dir/events.parquet")
+    def run(tag: String) = StreamingDedup.streamFirstSeenBucket(
+      spark, s"$dir/events.parquet", s"sfs_spec_$tag",
+      java.nio.file.Files.createTempDirectory("graft_sfs_scratch_").toString)
+      .orderBy(col("user_id")).as[(Long, Long)].collect().toSeq
+    val got = run("a")
+    assert(got === Seq((1L, 0L), (2L, 1L), (3L, 3L), (4L, 0L)))
+    assert(run("b") === got) // deterministic across runs
+  }
 }
