@@ -1312,10 +1312,10 @@ object SparkEntry {
       """WITH t AS (
            SELECT doc_id, 'fromSource' AS pred,
                   CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS obj,
-                  lang
+                  coalesce(lang, 'und') AS lang
            FROM documents
            UNION ALL
-           SELECT doc_id, 'hasLang', lang, lang FROM documents)
+           SELECT doc_id, 'hasLang', lang, coalesce(lang, 'und') FROM documents)
          SELECT doc_id, pred, obj, lang FROM t
          WHERE NOT coalesce(
            pred = 'fromSource' AND obj IN ('src1', 'src7', 'src13'), false)
@@ -1326,6 +1326,7 @@ object SparkEntry {
       // (positive epochs; floor(floor(x)/W) = floor(x/W) for integer W)
       """SELECT user_id,
                 min(CAST(epoch_us(ts) // 604800000000 AS BIGINT)) AS first_bucket
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -75,27 +75,34 @@ object StreamingDedup {
       scratchDir: String,
       bucketSeconds: Long = 604800L): DataFrame = {
     import spark.implicits._
+    // rows with NULL ts carry no event time and are DROPPED (an oracle
+    // restating this run must add WHERE ts IS NOT NULL — min() skipping
+    // NULLs still EMITS a group whose every ts is NULL, this does not)
     val ev = spark.read.parquet(parquetPath)
       .select(col("user_id").cast("long").as("user_id"),
         // session TZ pinned UTC: the NTZ→TZ cast is value-preserving
         floor(unix_timestamp(col("ts").cast("timestamp")) / bucketSeconds)
           .cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .persist() // one source scan; the per-bucket loop reads the cache
     val base = java.nio.file.Paths.get(scratchDir)
     val streamDir = base.resolve("stream")
     java.nio.file.Files.createDirectories(streamDir)
-    val buckets = ev.select(col("bucket")).distinct()
-      .orderBy(col("bucket")).as[Long].collect()
-    buckets.zipWithIndex.foreach { case (b, i) =>
-      val part = base.resolve(s"part_$i")
-      ev.filter(col("bucket") === b).coalesce(1)
-        .write.parquet(part.toString)
-      val src = part.toFile.listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head.toPath
-      val dst = streamDir.resolve(f"events_$i%05d.parquet")
-      java.nio.file.Files.move(src, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-    }
+    try {
+      val buckets = ev.select(col("bucket")).distinct()
+        .orderBy(col("bucket")).as[Long].collect()
+      buckets.zipWithIndex.foreach { case (b, i) =>
+        val part = base.resolve(s"part_$i")
+        ev.filter(col("bucket") === b).coalesce(1)
+          .write.parquet(part.toString)
+        val src = part.toFile.listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).head.toPath
+        val dst = streamDir.resolve(f"events_$i%05d.parquet")
+        java.nio.file.Files.move(src, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+    } finally ev.unpersist()
     val stream = spark.readStream
       .schema(StructType.fromDDL("user_id BIGINT, bucket BIGINT"))
       .option("maxFilesPerTrigger", "1")
