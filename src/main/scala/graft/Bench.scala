@@ -48,10 +48,13 @@ object Bench {
     // the build seconds as a separate top-level field
     val tIdx0 = System.nanoTime()
     SparkEntry.prepareAnnIndexes(spark, sfDir)
-    // q48's chunked stream input is read-only fixture prep (not the
-    // measured operator) — stage it in the same untimed region
-    SparkEntry.prepareStreamFixture(spark, sfDir)
     val idxBuildSec = (System.nanoTime() - tIdx0) / 1e9
+    // q47/q48 chronological stream inputs are read-only fixture prep (not
+    // the measured operator) — staged untimed too, but attributed to
+    // their OWN field so index_build_sec keeps meaning index builds
+    val tStage0 = System.nanoTime()
+    SparkEntry.prepareStreamFixture(spark, sfDir)
+    val streamStageSec = (System.nanoTime() - tStage0) / 1e9
     // untimed warm-up: JIT + codegen + parquet reader init, so per-query
     // numbers measure the operator, not first-touch JVM costs
     import org.apache.spark.sql.functions._
@@ -105,7 +108,7 @@ object Bench {
     val stealCores =
       if (steal0 < 0 || steal1 < 0 || wallSec <= 0) -1.0
       else math.rint((steal1 - steal0) / 100.0 / wallSec * 100) / 100
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_steal":$qSteals,"index_build_sec":$idxBuildSec,"steal_cores":$stealCores$onlyJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_steal":$qSteals,"index_build_sec":$idxBuildSec,"stream_stage_sec":$streamStageSec,"steal_cores":$stealCores$onlyJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
