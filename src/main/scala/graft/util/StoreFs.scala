@@ -101,6 +101,37 @@ final class StoreFs(val root: String, conf: Configuration) {
     else fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
+  /** Recursive file listing under `dir`, filtered to names ending in
+    * `suffix`. Hadoop's recursive `listFiles` on the LOCAL scheme loads
+    * per-entry permissions by shelling out (`ls -ld` per file in
+    * `RawLocalFileSystem` — measured ~5 ms/entry, 1.6 s for a 160-file
+    * commit dir), so the local scheme walks `java.nio` instead (~5 ms
+    * total); remote schemes keep the bulk `listFiles` RPC, which on an
+    * object store is the one-call paged LIST.
+    */
+  def listFilesRecursive(dir: Path, suffix: String): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    if (isLocal) {
+      val s = java.nio.file.Files.walk(localPath(dir))
+      try {
+        val b = Seq.newBuilder[Path]
+        s.forEach { p =>
+          if (p.getFileName.toString.endsWith(suffix) &&
+            java.nio.file.Files.isRegularFile(p)) b += new Path(p.toString)
+        }
+        b.result()
+      } finally s.close()
+    } else {
+      val it = fs.listFiles(dir, true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(suffix)) b += f.getPath
+      }
+      b.result()
+    }
+  }
+
   def delete(p: Path, recursive: Boolean): Boolean = fs.delete(p, recursive)
 
   /** Whether the root resolves to the local filesystem (hard links legal). */

@@ -65,6 +65,65 @@ class TripleStoreSpec extends SparkSpec {
     assert(manifest.contains(""""partitions":[{"file":"""))
   }
 
+  /** Ground truth for a manifest stats entry, independent of the write
+    * job's observe metric: the parquet footer's record count.
+    */
+  private def footerRows(file: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, spark.sessionState.newHadoopConf()))
+    try r.getRecordCount finally r.close()
+  }
+
+  private val FileEntryRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+  private def manifestFileStats(root: String, batch: String): Seq[(String, Long)] =
+    FileEntryRe.findAllMatchIn(Files.readString(
+      java.nio.file.Paths.get(root, "_manifest", s"$batch.commit")))
+      .map(m => m.group(1) -> m.group(2).toLong).toSeq
+
+  test("per-file manifest stats: task-reported counts match parquet footers exactly") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    // multiple preds × langs × buckets so the per-dir observe metric has
+    // real fan-out to attribute
+    val t = (1 to 120).map(i => (
+      s"u$i",
+      if (i % 3 == 0) "hasTopic" else "mentions",
+      s"o$i", 1L,
+      if (i % 2 == 0) "en" else "es"))
+      .toDF("subj", "pred", "obj", "weight", "lang")
+    store.commit("b1", t)
+    val stats = manifestFileStats(root, "b1")
+    assert(stats.nonEmpty)
+    assert(stats.map(_._2).sum === 120L)
+    // every (file, rows) entry must agree with the file's own footer —
+    // the observe-derived fast path may never drift from physical truth
+    stats.foreach { case (f, r) => assert(footerRows(f) === r, f) }
+  }
+
+  test("per-file manifest stats survive multi-file dirs via the footer fallback") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    // one pred, one lang, 30 subjects over 16 url buckets: pigeonhole puts
+    // >=2 rows in some bucket dir, and maxRecordsPerFile=1 then splits that
+    // dir into multiple files — breaking the one-file-per-dir invariant the
+    // observe fast path needs, so the commit must take the footer fallback
+    val t = (1 to 30).map(i => (s"u$i", "mentions", s"o$i", 1L, "en"))
+      .toDF("subj", "pred", "obj", "weight", "lang")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 1L)
+    try store.commit("b1", t)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val stats = manifestFileStats(root, "b1")
+    assert(stats.size === 30, "maxRecordsPerFile=1 must yield one file per row")
+    val dirs = stats.map { case (f, _) => f.substring(0, f.lastIndexOf('/')) }
+    assert(dirs.distinct.size < dirs.size, "some dir must hold >1 file")
+    assert(stats.map(_._2).sum === 30L)
+    stats.foreach { case (f, r) => assert(footerRows(f) === r, f) }
+  }
+
   test("unprocessed = anti-join against committed subjects of a predicate") {
     import spark.implicits._
     val store = new TripleStore(tmp(), spark)
