@@ -29,29 +29,6 @@ object PredCounter extends Aggregator[String, Map[String, Long], String] {
   override def outputEncoder: org.apache.spark.sql.Encoder[String] = Encoders.STRING
 }
 
-/** Per-partition-dir row counter riding the write job as a second
-  * `observe()` metric (input = the `\\u0001`-joined (pred, lang, bucket)
-  * key). The hash-distributed partitionBy write emits ONE file per
-  * (pred, lang, bucket) dir per commit, so these per-dir counts ARE the
-  * manifest's per-file stats — task-reported, the way an Iceberg writer
-  * reports DataFile stats — and the post-write parquet-footer pass
-  * (an O(files) metadata read: ~20 ms per open, and on an object store a
-  * full RPC per file, EVERY commit) disappears from the commit path.
-  * Cardinality is bounded: preds × langs × buckets, the same bound as the
-  * store's per-commit file count. Output is the PredCounter JSON shape.
-  */
-object DirCounter extends Aggregator[String, Map[String, Long], String] {
-  override def zero: Map[String, Long] = PredCounter.zero
-  override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-    PredCounter.reduce(b, a)
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    PredCounter.merge(a, b)
-  override def finish(m: Map[String, Long]): String = PredCounter.finish(m)
-  override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
-  override def outputEncoder: org.apache.spark.sql.Encoder[String] = Encoders.STRING
-}
-
 /** Snapshot-committed triple store over parquet.
   *
   * Production target is an Iceberg table (atomic snapshot commits,
@@ -87,6 +64,18 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * the manifest publication rename is documented on StoreFs.
     */
   private val sfs = new graft.util.StoreFs(root, spark.sessionState.newHadoopConf())
+
+  /** Phase timing for the StoreProfile diagnostic (env-guarded; never on
+    * in driver runs).
+    */
+  private val timing = sys.env.contains("SPARK_GRAFT_STORE_TIMING")
+
+  /** Stats source of the most recent commit ("observe" fast path or
+    * "footers" fallback) — a test seam: specs assert the fast path
+    * actually ENGAGED, so a key-construction regression cannot silently
+    * demote every commit to the O(files) footer pass behind green tests.
+    */
+  @volatile private[graft] var lastStatsSource: String = ""
   private val manifestDir: HPath = sfs.path("_manifest")
   private def manifestPath(b: String): HPath = new HPath(manifestDir, s"$b.commit")
   private def dataDir(batch: String): String = s"$root/data/batch=$batch"
@@ -159,9 +148,10 @@ final class TripleStore(val root: String, spark: SparkSession) {
 
   /** Atomically commit one batch of triples. The manifest line carries
     * per-partition lineage + metrics (north rule): one (file, rows) entry
-    * per task output file (from parquet footers — metadata only), plus
-    * per-predicate row counts (from an Observation on the write job — no
-    * re-read). Empty batches commit a rows:0 manifest. Returns total rows.
+    * per task output file (task-reported by the write job's Observation,
+    * with a parquet-footer fallback — see [[perFileRowCounts]]), plus
+    * per-predicate row counts (same Observation — no re-read). Empty
+    * batches commit a rows:0 manifest. Returns total rows.
     */
   def commit(batch: String, triples: DataFrame, supersedes: Seq[String] = Nil): Long = {
     // the z* id namespace is RESERVED for internal compaction/rewrite
@@ -209,9 +199,6 @@ final class TripleStore(val root: String, spark: SparkSession) {
         when(col("pred").startsWith(graft.schema.Pred.Processed),
           pmod(xxhash64(col("subj")), lit(markerBuckets)))
           .otherwise(pmod(xxhash64(col("subj")), lit(urlBuckets))))
-    // phase timing for the StoreProfile diagnostic (env-guarded; never on
-    // in driver runs)
-    val timing = sys.env.contains("SPARK_GRAFT_STORE_TIMING")
     def phase[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -221,7 +208,6 @@ final class TripleStore(val root: String, spark: SparkSession) {
     }
     val obs = new Observation()
     val predCount = udaf(PredCounter)
-    val dirCount = udaf(DirCounter)
     phase("write")(withPartCols
       // hash-distribute on the partition columns before the partitionBy
       // write (Iceberg write.distribution-mode=hash): each (lang, bucket)
@@ -229,8 +215,16 @@ final class TripleStore(val root: String, spark: SparkSession) {
       // one sliver per input task — bounded file counts at any batch size
       // (pred cardinality is a handful of predicates × runs)
       .repartition(col("lang"), col("bucket"))
+      // "dirs" is PredCounter over the DirSep-joined partition key: one
+      // row count per (pred, lang, bucket) output dir, task-reported the
+      // way an Iceberg writer reports DataFile stats. One file per dir
+      // under the hash-distributed write → these ARE the manifest's
+      // per-file stats, and the post-write parquet-footer pass (~20 ms
+      // per open; a full RPC per file on an object store, EVERY commit)
+      // leaves the commit path. Cardinality is bounded by the per-commit
+      // file count (preds × langs × buckets).
       .observe(obs, count(lit(1)).as("rows"), predCount(col("pred")).as("preds"),
-        dirCount(concat(col("pred"), lit(DirSep), col("lang"), lit(DirSep),
+        predCount(concat(col("pred"), lit(DirSep), col("lang"), lit(DirSep),
           col("bucket").cast("string"))).as("dirs"))
       .write.mode(SaveMode.Overwrite)
       // pred LEADS the partition spec: the incremental anti-join reads
@@ -328,7 +322,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
     val oneFilePerDir = keyed.forall(_._1 != null) &&
       keyed.map(_._1).distinct.size == keyed.size &&
       keyed.map(_._1).toSet == counts.keySet
-    if (sys.env.contains("SPARK_GRAFT_STORE_TIMING")) println(
+    lastStatsSource = if (oneFilePerDir) "observe" else "footers"
+    if (timing) println(
       s"[commit-stats] files=${files.size} dirs=${counts.size} fastPath=$oneFilePerDir")
     if (oneFilePerDir) keyed.map { case (k, p) => p.toString -> counts(k) }
     else footerRowCounts(files)

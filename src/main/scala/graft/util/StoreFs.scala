@@ -108,6 +108,12 @@ final class StoreFs(val root: String, conf: Configuration) {
     * commit dir), so the local scheme walks `java.nio` instead (~5 ms
     * total); remote schemes keep the bulk `listFiles` RPC, which on an
     * object store is the one-call paged LIST.
+    *
+    * Path FORMAT differs by branch: the local walk yields schemeless
+    * absolute paths (`/tmp/…`) where Hadoop's listing yields qualified
+    * ones (`file:/tmp/…`). Consumers must not join the returned strings
+    * against differently-sourced listings without qualifying both sides
+    * (today's only string consumer is write-only manifest lineage).
     */
   def listFilesRecursive(dir: Path, suffix: String): Seq[Path] = {
     if (!fs.exists(dir)) return Seq.empty

@@ -95,6 +95,10 @@ class TripleStoreSpec extends SparkSpec {
       if (i % 2 == 0) "en" else "es"))
       .toDF("subj", "pred", "obj", "weight", "lang")
     store.commit("b1", t)
+    assert(store.lastStatsSource === "observe",
+      "a regular commit must take the task-reported fast path — a key " +
+        "regression demoting it to the footer pass is a silent O(files) " +
+        "RPC pass per commit at scale")
     val stats = manifestFileStats(root, "b1")
     assert(stats.nonEmpty)
     assert(stats.map(_._2).sum === 120L)
@@ -116,6 +120,8 @@ class TripleStoreSpec extends SparkSpec {
     spark.conf.set("spark.sql.files.maxRecordsPerFile", 1L)
     try store.commit("b1", t)
     finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    assert(store.lastStatsSource === "footers",
+      "multi-file dirs must demote the commit to the footer fallback")
     val stats = manifestFileStats(root, "b1")
     assert(stats.size === 30, "maxRecordsPerFile=1 must yield one file per row")
     val dirs = stats.map { case (f, _) => f.substring(0, f.lastIndexOf('/')) }
