@@ -43,17 +43,34 @@ object Bench {
     // force the fixture model to train OUTSIDE the timed region (it is a
     // frozen artifact in production — cf. reference model.py:54-68)
     SparkEntry.fixtureModel
+    // SPARK_GRAFT_ONLY=q41_...,q45_... times a subset (iteration tooling;
+    // the driver never sets it, so round captures always run everything).
+    // A subset run must be SELF-DESCRIBING (like steal_cores): unknown
+    // names fail fast, and the JSON carries an "only" count so a stray
+    // exported variable can never masquerade as a full-capture speedup.
+    // Parsed BEFORE fixture staging so a subset pays (and requires the
+    // inputs of — e.g. events.parquet for the stream fixtures) only the
+    // staging its selected queries read.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    def staged(users: String*): Boolean = only.forall(_.exists(users.contains))
     // ANN index builds are amortized batch jobs, not probe cost: stage
     // them untimed so q22/q42 measure the probe (VERDICT r02 #6); report
     // the build seconds as a separate top-level field
     val tIdx0 = System.nanoTime()
-    SparkEntry.prepareAnnIndexes(spark, sfDir)
+    if (staged("q22_ann_lsh", "q42_ann_ivf"))
+      SparkEntry.prepareAnnIndexes(spark, sfDir)
     val idxBuildSec = (System.nanoTime() - tIdx0) / 1e9
     // q47/q48 chronological stream inputs are read-only fixture prep (not
     // the measured operator) — staged untimed too, but attributed to
     // their OWN field so index_build_sec keeps meaning index builds
     val tStage0 = System.nanoTime()
-    SparkEntry.prepareStreamFixture(spark, sfDir)
+    if (staged("q47_stream_first_seen", "q48_stream_assign"))
+      SparkEntry.prepareStreamFixture(spark, sfDir)
     val streamStageSec = (System.nanoTime() - tStage0) / 1e9
     // untimed warm-up: JIT + codegen + parquet reader init, so per-query
     // numbers measure the operator, not first-touch JVM costs
@@ -62,17 +79,6 @@ object Bench {
       .select(xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")))
       .groupBy().count().write.format("noop").mode("overwrite").save()
     val failed = Seq.newBuilder[String]
-    // SPARK_GRAFT_ONLY=q41_...,q45_... times a subset (iteration tooling;
-    // the driver never sets it, so round captures always run everything).
-    // A subset run must be SELF-DESCRIBING (like steal_cores): unknown
-    // names fail fast, and the JSON carries an "only" count so a stray
-    // exported variable can never masquerade as a full-capture speedup.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in queries: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val onlyJson = only.map(n => s""","only":${n.size}""").getOrElse("")

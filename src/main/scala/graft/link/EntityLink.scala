@@ -130,7 +130,12 @@ object EntityLink {
     val spark = mentions.sparkSession
     import spark.implicits._
     val hot = hotKeys
-      .map(_.select($"entity_text_norm", $"entity_type", lit(true).as("_hot")))
+      // distinct: the self-derived set is unique by construction (groupBy)
+      // but a supplied frame is not — a duplicate (norm, type) row would
+      // multiply every matching mention through the two left joins below,
+      // silently breaking the row-identical contract
+      .map(_.select($"entity_text_norm", $"entity_type").distinct()
+        .withColumn("_hot", lit(true)))
       .getOrElse(mentions
         .groupBy($"entity_text_norm", $"entity_type")
         .agg(count(lit(1)).as("_cnt"))

@@ -72,22 +72,24 @@ object IvfIndex {
       .collect().map(_.getSeq[Double](1).toArray)
   }
 
-  /** Per-dir memo of the recorded quantizer: the sidecar is immutable
-    * for a given build, and an ad-hoc prober in a loop must not pay a
-    * read+sort+collect job per probe just to re-load it. [[build]]
-    * refreshes the entry, so an in-process rebuild cannot serve stale
-    * centroids.
-    */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-
   private def resolveCentroids(spark: SparkSession, dir: String,
       cents: Array[Array[Double]]): Array[Array[Double]] =
     // null (the default) = "use the quantizer recorded in the index" —
     // always correct for that index by construction; explicit centroids
-    // exist for legacy sidecar-less indexes and to skip the load
+    // exist for legacy sidecar-less indexes and to skip the load. The
+    // load is memoized per dir with MTIME revalidation ([[SidecarCache]]):
+    // an ad-hoc prober loop pays one stat RPC, not a read+sort+collect
+    // job, per probe, and a rebuild — in-process OR out-of-process —
+    // invalidates the memo (a stale quantizer would route queries to the
+    // wrong cell partitions of the new index, the exact drift the
+    // recorded-geometry contract forbids).
     if (cents != null) cents
-    else centroidCache.getOrElseUpdate(dir, loadCentroids(spark, dir))
+    else
+      try SidecarCache.cached(spark, s"$dir/_centroids")(loadCentroids(spark, dir))
+      catch {
+        // missing sidecar: re-raise loadCentroids' loud, fix-naming error
+        case _: java.io.FileNotFoundException => loadCentroids(spark, dir)
+      }
 
   /** Assign every vector to its nearest centroid and write the index
     * partitioned by cell (one file per cell dir). Cell routing is the
@@ -114,7 +116,7 @@ object IvfIndex {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "c")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_centroids")
-    centroidCache.put(dir, centroids) // refresh any in-process memo
+    SidecarCache.invalidate(s"$dir/_centroids") // drop any in-process memo
   }
 
   /** Probe the `nprobe` cells nearest the query; exact-rank candidates

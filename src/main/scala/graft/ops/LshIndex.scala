@@ -57,18 +57,27 @@ object LshIndex {
   /** Resolve [[AutoParams]] at probe time against the index's recorded
     * geometry; explicit params pass through (mismatched explicit params
     * are the caller's contract to keep — specs pass the build params).
-    * An index persisted BEFORE geometry recording existed has no
-    * `_params` — fall back to the historical default `Params()` those
-    * builds used, instead of failing the probe on a missing path.
+    * The load is memoized per dir with mtime revalidation
+    * ([[SidecarCache]]) — an ad-hoc prober loop pays one stat RPC, not a
+    * Spark job, per probe, and an out-of-process rebuild is picked up. A
+    * MISSING `_params` is a loud error, not a silent default: [[build]]
+    * deletes the sidecar first and rewrites it last, so absence means a
+    * pre-recording index or a rebuild that crashed mid-way — in both
+    * cases probing with guessed geometry is silent recall loss (the
+    * caller can still pass explicit Params for a sidecar-less index it
+    * knows the geometry of).
     */
   private def resolveProbe(spark: SparkSession, dir: String, p: Params): Params =
     if (p.bits != Dedup.AutoBits) p
-    else {
-      val pp = new org.apache.hadoop.fs.Path(s"$dir/_params")
-      if (pp.getFileSystem(spark.sessionState.newHadoopConf()).exists(pp))
-        loadParams(spark, dir)
-      else Params() // legacy index: pre-recording builds used the defaults
-    }
+    else
+      try SidecarCache.cached(spark, s"$dir/_params")(loadParams(spark, dir))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"no recorded geometry at $dir/_params (pre-recording or " +
+              "half-written index, e.g. a rebuild that crashed before its " +
+              "final _params write): pass explicit Params, or rebuild")
+      }
 
   /** Partition fan-out guard: 2^bits keys per table would explode the
     * directory count, so keys are grouped into key-buckets for the
@@ -142,10 +151,15 @@ object LshIndex {
     val eff =
       if (p.bits == Dedup.AutoBits) p.copy(bits = Dedup.recommendedBits(n))
       else { Dedup.requireKeySpace(n, p.bits, Dedup.DefaultMaxBucket, "LshIndex.build"); p }
-    // record the geometry IN the index — probes resolve AutoParams from
-    // here, so an auto-sized index cannot be probed with drifted params
-    Seq((eff.bits, eff.tables, eff.seed)).toDF("bits", "tables", "seed")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_params")
+    // drop any previously recorded geometry FIRST and rewrite it LAST
+    // (after both data writes): a rebuild that fails mid-way must leave a
+    // LOUDLY params-less index, never new geometry over old keys (the
+    // former _params-first ordering) or old geometry over new keys —
+    // either mismatch is silent recall loss at probe time
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/_params")
+    paramsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(paramsPath, true)
+    SidecarCache.invalidate(s"$dir/_params")
     signatures(embeddings, eff, idCol, vecCol)
       .withColumn("kb", pmod(col("key"), lit(keyBuckets)))
       // hash-distribute on the partition columns (Iceberg's
@@ -163,6 +177,11 @@ object LshIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("vb")
       .parquet(s"$dir/vectors")
+    // record the geometry IN the index, AFTER the data it describes —
+    // probes resolve AutoParams from here, so an auto-sized index cannot
+    // be probed with drifted params
+    Seq((eff.bits, eff.tables, eff.seed)).toDF("bits", "tables", "seed")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/_params")
   }
 
   def queryKeys(query: Array[Double], p: Params): Seq[(Int, Long)] = {

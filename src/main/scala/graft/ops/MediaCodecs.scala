@@ -161,7 +161,11 @@ object MediaCodecs {
 
   private def imageReader[T](b: Array[Byte])(
       f: javax.imageio.ImageReader => T): T = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCacheImageInputStream directly: ImageIO.createImageInputStream
+    // honors the useCache default (true) and would SPOOL every blob to a
+    // java.io.tmpdir cache file — a temp-file create/write/delete per
+    // decoded row on the executor hot path, for bytes already in memory
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(b))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)

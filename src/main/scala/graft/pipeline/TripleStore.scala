@@ -294,7 +294,12 @@ final class TripleStore(val root: String, spark: SparkSession) {
     */
   private def perFileRowCounts(dir: String, dirsJson: String): Seq[(String, Long)] = {
     val files = listParquetFiles(dir)
-    if (files.isEmpty) return Seq.empty
+    if (files.isEmpty) {
+      // keep the test seam truthful for empty commits too — leaving the
+      // PREVIOUS commit's value would misattribute this one
+      lastStatsSource = "empty"
+      return Seq.empty
+    }
     val counts = parseCounterJson(dirsJson)
     val unescape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName _

@@ -89,7 +89,7 @@ final class StoreFs(val root: String, conf: Configuration) {
   def writeStringAtomic(dst: Path, content: String, tmpName: String): Unit = {
     val tmp = new Path(dst.getParent, tmpName)
     writeString(tmp, content)
-    if (isLocal)
+    if (isLocal) {
       // atomic-REPLACE on the local scheme: Hadoop's local FileContext
       // implements OVERWRITE as delete-then-rename, which would expose a
       // missing-pointer window to concurrent readers (and a crash inside
@@ -98,7 +98,15 @@ final class StoreFs(val root: String, conf: Configuration) {
       java.nio.file.Files.move(localPath(tmp), localPath(dst),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+      // the checksummed local FS wrote a `.<tmpName>.crc` sidecar beside
+      // the tmp file; the nio move takes only the data file, so without
+      // this delete every publication leaks one orphan crc — per-BATCH
+      // tmp names (TripleStore) and per-VERSION tmp names (the `_latest`
+      // pointers) would grow _manifest/ listings without bound under
+      // streaming commit cadence. The moved dst carries no crc (readers
+      // tolerate absence); best-effort delete, absence is fine.
+      fs.delete(new Path(dst.getParent, s".$tmpName.crc"), false)
+    } else fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
   /** Recursive file listing under `dir`, filtered to names ending in

@@ -333,6 +333,71 @@ class DedupSpec extends SparkSpec {
     assert(batchRec === batchExp)
   }
 
+  test("LSH geometry: rebuild refreshes AutoParams probes; missing _params errs loudly") {
+    import spark.implicits._
+    val dim = 6
+    val rng = new java.util.Random(7)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshgeo_").toString
+    graft.ops.LshIndex.build(df, dir) // AutoParams
+    val q = rows(3)._2.map(_.toDouble)
+    // warm the probe-side params memo
+    assert(graft.ops.LshIndex.topK(spark, dir, q, k = 3)
+      .as[(Long, Double)].collect().head._1 === 3L)
+    // rebuild with DIFFERENT explicit geometry: AutoParams probes must
+    // resolve the NEW recorded params, not the memoized old ones
+    val p2 = graft.ops.LshIndex.Params(bits = 6, tables = 3, seed = 99L)
+    graft.ops.LshIndex.build(df, dir, p2)
+    assert(graft.ops.LshIndex.loadParams(spark, dir) === p2)
+    val auto2 = graft.ops.LshIndex.topK(spark, dir, q, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    val exp2 = graft.ops.LshIndex.topK(spark, dir, q, k = 3, p = p2)
+      .as[(Long, Double)].collect().toSeq
+    assert(auto2 === exp2)
+    // a rebuild that crashes mid-way leaves NO _params (build deletes it
+    // FIRST and rewrites it LAST, after both data writes): AutoParams
+    // probes fail loudly instead of guessing a geometry — either stale
+    // direction (old params over new keys, new params over old keys) is
+    // silent recall loss
+    val pp = new org.apache.hadoop.fs.Path(s"$dir/_params")
+    pp.getFileSystem(spark.sessionState.newHadoopConf()).delete(pp, true)
+    val e = intercept[IllegalStateException] {
+      graft.ops.LshIndex.topK(spark, dir, q, k = 3).collect()
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("IVF probes revalidate the quantizer memo by sidecar mtime (external rebuild)") {
+    import spark.implicits._
+    val dim = 8
+    val rng = new java.util.Random(41)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfstale_").toString
+    val cents1 = graft.ops.IvfIndex.train(df, graft.ops.IvfIndex.Params(cells = 4))
+    graft.ops.IvfIndex.build(df, dir, cents1)
+    val q = rows(9)._2.map(_.toDouble)
+    graft.ops.IvfIndex.topK(spark, dir, q, k = 3).collect() // warm the memo
+    // simulate ANOTHER PROCESS retraining + rewriting the sidecar (the
+    // in-process invalidation in build() cannot help here): the next
+    // default probe must pick up the new quantizer via the mtime check,
+    // not route with the memoized old centroids
+    val cents2 = graft.ops.IvfIndex.train(df,
+      graft.ops.IvfIndex.Params(cells = 7, seed = 999L))
+    Thread.sleep(20) // distinct mtime tick on coarse-granularity filesystems
+    cents2.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
+    val explicit2 = graft.ops.IvfIndex.topK(spark, dir, q, cents2, k = 3, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val recorded2 = graft.ops.IvfIndex.topK(spark, dir, q, k = 3, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(recorded2 === explicit2,
+      "probe served a stale memoized quantizer after an external rebuild")
+  }
+
   test("IVF quantizer sample is unbiased under skewed file order") {
     import spark.implicits._
     // three well-separated clusters laid out CLUSTER-MAJOR in one

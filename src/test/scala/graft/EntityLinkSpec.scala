@@ -85,6 +85,15 @@ class EntityLinkSpec extends SparkSpec {
         hotThreshold = 5, hotKeys = Some(coldOnly))
       .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.toString)
     assert(saltedCold.toSeq === broad.toSeq)
+    // and a DUPLICATED supplied hot set: without the internal distinct,
+    // each duplicate (norm, type) row would multiply every matching
+    // mention through the two hot joins — a silent break of the
+    // row-identical contract from a public default-arg API
+    val dupHot = hotFromDict.unionByName(hotFromDict)
+    val saltedDup = EntityLink.linkSalted(perDoc, dict, saltFactor = 4,
+        hotThreshold = 5, hotKeys = Some(dupHot))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).sortBy(_.toString)
+    assert(saltedDup.toSeq === broad.toSeq)
   }
 
   test("assertAllLinked throws on a missing dictionary key (tables.py:125-133)") {

@@ -130,6 +130,22 @@ class TripleStoreSpec extends SparkSpec {
     stats.foreach { case (f, r) => assert(footerRows(f) === r, f) }
   }
 
+  test("manifest publications leave no checksum litter in _manifest") {
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    store.commit("b1", triples(("u1", "mentions", "e1", 1L)))
+    store.commit("b2", triples(("u2", "mentions", "e2", 1L)))
+    store.deleteWhere(col("obj") === "e1")
+    // the checksummed local FS writes a .<tmp>.crc beside every staged
+    // manifest; the atomic publish must not leave them behind — per-batch
+    // tmp names would otherwise grow the _manifest listing without bound
+    // under streaming commit cadence
+    val names = new java.io.File(s"$root/_manifest").list().toSeq
+    assert(names.nonEmpty)
+    assert(!names.exists(_.endsWith(".crc")),
+      s"orphan checksum sidecars leaked: ${names.filter(_.endsWith(".crc"))}")
+  }
+
   test("unprocessed = anti-join against committed subjects of a predicate") {
     import spark.implicits._
     val store = new TripleStore(tmp(), spark)
