@@ -661,6 +661,21 @@ final class TripleStore(val root: String, spark: SparkSession) {
     val dead = deadBatches()
     val lingering = manifestNames().filter(dead)
     if (lingering.nonEmpty) cleanup(lingering)
+    // legacy checksum litter: publications before the crc fix leaked one
+    // `.<batch>.tmp.crc` per commit (writeStringAtomic now deletes them
+    // at publish time) — sweep any whose staged tmp file is gone, so a
+    // long-lived pre-fix store converges to a clean _manifest listing.
+    // RAW listing/delete: the checksummed local FS hides .crc sidecars
+    // from its own listStatus, so the litter is invisible to listNames
+    val entries = sfs.listNamesRaw(manifestDir)
+    val present = entries.toSet
+    entries
+      .filter(n => n.startsWith(".") && n.endsWith(".crc"))
+      .filter(n => !present.contains(n.stripPrefix(".").stripSuffix(".crc")))
+      .foreach { n =>
+        try sfs.deleteRaw(new HPath(manifestDir, n))
+        catch { case _: java.io.IOException => () }
+      }
     val manifested = manifestNames().toSet
     val dataRoot = new HPath(s"$root/data")
     val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())

@@ -144,6 +144,17 @@ class TripleStoreSpec extends SparkSpec {
     assert(names.nonEmpty)
     assert(!names.exists(_.endsWith(".crc")),
       s"orphan checksum sidecars leaked: ${names.filter(_.endsWith(".crc"))}")
+    // a PRE-FIX store carries leaked sidecars — maintenance sweeps them
+    // (but never a crc whose staged file still exists mid-publication)
+    Files.writeString(java.nio.file.Paths.get(root, "_manifest", ".old.tmp.crc"), "x")
+    Files.writeString(java.nio.file.Paths.get(root, "_manifest", "live.tmp"), "y")
+    Files.writeString(java.nio.file.Paths.get(root, "_manifest", ".live.tmp.crc"), "z")
+    store.commit("b3", triples(("u3", "mentions", "e3", 1L)))
+    store.compact() // maintenance path runs the sweep
+    val after = new java.io.File(s"$root/_manifest").list().toSeq
+    assert(!after.contains(".old.tmp.crc"), "orphan legacy crc must be swept")
+    assert(after.contains(".live.tmp.crc"),
+      "a crc whose staged file exists belongs to an in-flight publication — keep")
   }
 
   test("unprocessed = anti-join against committed subjects of a predicate") {
