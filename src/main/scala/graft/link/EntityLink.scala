@@ -121,6 +121,19 @@ object EntityLink {
     * mention rows was most of the salted path's +39% overhead
     * (VERDICT r04 what's-wrong #1).
     */
+  /** Hot-key set for [[linkSalted]] derived from an aggregated
+    * dictionary's `news_count` stat — ≡ the per-article row count
+    * linkSalted would otherwise re-aggregate from the much larger mention
+    * side (VERDICT r04 what's-wrong #1). Pipeline callers hold the dict
+    * cached, so this is one dictionary-sized scan instead of a
+    * corpus-sized shuffle agg.
+    */
+  def hotKeysFromDict(dict: DataFrame, hotThreshold: Long): DataFrame = {
+    import dict.sparkSession.implicits._
+    dict.filter($"news_count" > hotThreshold)
+      .select($"entity_text_norm", $"entity_type")
+  }
+
   def linkSalted(
       mentions: DataFrame,
       dict: DataFrame,

@@ -264,8 +264,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
   private def listParquetFiles(dir: String): Seq[org.apache.hadoop.fs.Path] =
     sfs.listFilesRecursive(new HPath(dir), ".parquet")
 
-  /** Entries of a PredCounter/DirCounter-shaped JSON object, keys
-    * unescaped (the counters escape only `\` and `"`).
+  /** Entries of a [[PredCounter]]-shaped JSON object, keys unescaped
+    * (the counter escapes only `\` and `"`).
     */
   private val CounterEntryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
   private def parseCounterJson(json: String): Map[String, Long] =
@@ -281,7 +281,8 @@ final class TripleStore(val root: String, spark: SparkSession) {
     }.toMap
 
   /** Per-file row counts for the manifest. Primary source is the write
-    * job's own per-dir observe metric ([[DirCounter]]) — task-reported
+    * job's own per-dir observe metric (the "dirs" [[PredCounter]] over
+    * the DirSep-joined partition key) — task-reported
     * stats, the way an Iceberg writer reports `DataFile` row counts — plus
     * ONE recursive listing to learn the task-generated file names. The
     * hash-distributed write puts all rows of a (lang, bucket) shuffle
@@ -324,9 +325,9 @@ final class TripleStore(val root: String, spark: SparkSession) {
         }
       key -> p
     }
-    val oneFilePerDir = keyed.forall(_._1 != null) &&
-      keyed.map(_._1).distinct.size == keyed.size &&
-      keyed.map(_._1).toSet == counts.keySet
+    val keySet = keyed.map(_._1).toSet
+    val oneFilePerDir = !keySet.contains(null) &&
+      keySet.size == keyed.size && keySet == counts.keySet
     lastStatsSource = if (oneFilePerDir) "observe" else "footers"
     if (timing) println(
       s"[commit-stats] files=${files.size} dirs=${counts.size} fastPath=$oneFilePerDir")

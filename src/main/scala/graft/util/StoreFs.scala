@@ -67,29 +67,25 @@ final class StoreFs(val root: String, conf: Configuration) {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
 
-  /** Child names via the RAW filesystem: `ChecksumFileSystem` (the local
-    * scheme) HIDES `.<name>.crc` sidecars from [[listNames]], so litter
-    * sweeps must list beneath it; non-checksummed schemes are unchanged.
+  /** The filesystem BENEATH any checksum layer: `ChecksumFileSystem` (the
+    * local scheme) hides `.<name>.crc` sidecars from its own listStatus
+    * and delete, so litter sweeps must operate on the raw view;
+    * non-checksummed schemes are the identity.
     */
-  def listNamesRaw(dir: Path): Seq[String] = {
-    val raw = fs match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
-    if (!raw.exists(dir)) Seq.empty
-    else raw.listStatus(dir).toSeq.map(_.getPath.getName)
+  private lazy val rawFs: FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
   }
 
-  /** Delete via the RAW filesystem (checksum sidecars are invisible to
-    * the checksummed view — see [[listNamesRaw]]).
+  /** Child names via [[rawFs]] — checksum sidecars included. */
+  def listNamesRaw(dir: Path): Seq[String] =
+    if (!rawFs.exists(dir)) Seq.empty
+    else rawFs.listStatus(dir).toSeq.map(_.getPath.getName)
+
+  /** Delete via [[rawFs]] (checksum sidecars are invisible to the
+    * checksummed view — see [[listNamesRaw]]).
     */
-  def deleteRaw(p: Path): Boolean = {
-    val raw = fs match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
-    raw.delete(p, false)
-  }
+  def deleteRaw(p: Path): Boolean = rawFs.delete(p, false)
 
   def readString(p: Path): String = {
     val in = fs.open(p)
