@@ -859,7 +859,7 @@ object SparkEntry {
     "q08_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-         CAST(len(regexp_extract_all(text, '\w\w+')) AS BIGINT) AS re_tokens,
+         CAST(len(regexp_extract_all(text, '[\p{L}\p{N}_]{2,}')) AS BIGINT) AS re_tokens,
          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
          FROM documents ORDER BY doc_id""",
     "q09_vocab_topk" ->
@@ -929,7 +929,7 @@ object SparkEntry {
          WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 4) >= 0.6
          ORDER BY id_a, id_b""",
     "q17_langid" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS token FROM documents),
          s AS (SELECT doc_id,
                  sum(CASE WHEN token IN ($enStopsSql) THEN 1 ELSE 0 END) AS en_hits,
                  sum(CASE WHEN token IN ($esStopsSql) THEN 1 ELSE 0 END) AS es_hits
@@ -938,12 +938,12 @@ object SparkEntry {
                 CASE WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END AS lang_pred
          FROM s ORDER BY doc_id""",
     "q18_quality" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents),
          agg AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct,
                         sum(CASE WHEN lower(token) IN ($enStopsSql) THEN 1 ELSE 0 END) AS sw,
                         sum(length(token)) AS sumlen
                  FROM tok GROUP BY 1)
-         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         SELECT d.doc_id, CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
                 CAST(a.n_tokens AS BIGINT) AS n_tokens,
                 round(CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 4) AS distinct_ratio,
                 round(CAST(a.sw AS DOUBLE) / a.n_tokens, 4) AS stopword_ratio,

@@ -305,7 +305,12 @@ object MediaCodecs {
       }
 
     private def decodeOne(r: MediaRow): MediaFeatures = {
-        val b = r.media
+        // a NULL blob (nullable binary column) is not "malformed bytes" —
+        // it would NPE before any magic check, and NPE is deliberately
+        // NOT in the malformed-media catch list above (it signals a bug,
+        // not bad data). Treat null as the empty blob: stub features
+        // with n_bytes 0.
+        val b = if (r.media == null) Array.emptyByteArray else r.media
         var h = 1125899906842597L
         var i = 0
         while (i < b.length) { h = h * 31 + b(i); i += 1 }

@@ -43,7 +43,9 @@ object Multimodal {
   object DecodeStub extends MediaDecoder {
     override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] =
       rows.map { r =>
-        val bytes = r.media
+        // null blob ≡ empty blob (see FormatDecoder.decodeOne): the stub
+        // must stay total over every row the Spark plumbing can carry
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
         var h = 1125899906842597L
         var i = 0
         while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }

@@ -32,7 +32,11 @@ object TextAnalysis {
   }
 
   def langScores(text: Column): (Column, Column) = {
-    val toks = split(lower(text), " ")
+    // same null-fill as langId: a raw null text would emit NULL hit
+    // counts (size(filter(null)) = NULL) where the scorer's contract —
+    // and the q17 oracle, whose token CTE coalesces identically — says
+    // a missing document scores (0, 0)
+    val toks = split(lower(coalesce(text.cast("string"), lit(""))), " ")
     (hitCount(toks, enStops), hitCount(toks, esStops))
   }
 
@@ -42,21 +46,32 @@ object TextAnalysis {
 
   /** BPE-ish subword-ish token count: runs of word chars of length ≥ 2
     * (the sklearn/reference token pattern) — a cheap proxy for tokenizer
-    * budget accounting.
+    * budget accounting. The word class is spelled `[\p{L}\p{N}_]`
+    * explicitly (the repo-wide token contract — TopicScorer,
+    * sklearnTokens, RegexTokenizer): Java's `(?U)\w` additionally
+    * matches Mn/No chars that neither Python `re` nor the DuckDB
+    * oracle's RE2 counts, and RE2's bare `\w` is ASCII-only — both
+    * diverge from this spelling on non-ASCII text. Greedy maximal runs
+    * of the class make the sklearn `\b` anchors redundant.
     */
   def regexTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("(?U)\\b\\w\\w+\\b"), lit(0)))
+    size(regexp_extract_all(text, lit("[\\p{L}\\p{N}_]{2,}"), lit(0)))
 
   /** Quality metrics bundle: length, token counts, type/token ratio,
     * stopword ratio, mean token length — each rounded to 4 decimals so the
     * DuckDB oracle hash-matches despite engine-side double formatting.
     */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val toks = split(text, " ")
+    // null ≡ empty text (same contract as langId/langScores): a raw null
+    // would emit NULL for every metric while the q18 oracle coalesces
+    // identically — and a quality scorer that answers NULL on missing
+    // text pushes the null-handling onto every downstream filter
+    val t = coalesce(text.cast("string"), lit(""))
+    val toks = split(t, " ")
     val n = size(toks).cast("double")
-    val sw = hitCount(split(lower(text), " "), enStops).cast("double")
+    val sw = hitCount(split(lower(t), " "), enStops).cast("double")
     Seq(
-      "n_chars" -> length(text).cast("long"),
+      "n_chars" -> length(t).cast("long"),
       "n_tokens" -> size(toks).cast("long"),
       "distinct_ratio" -> round(size(array_distinct(toks)) / n, 4),
       "stopword_ratio" -> round(sw / n, 4),

@@ -476,6 +476,23 @@ object KgPipeline {
     val todo = store.unprocessed(pages, Pred.Processed)
     val analyzed = analyze(todo, trie, params, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch-dictionary cache, same lifecycle as runManaged's: the salted
+    // link consumes the dict twice (hot-key scan + join build) and the
+    // store-less sameAs path 3-4 times — without preparedDict each
+    // consumer re-ran the FULL two-shuffle dictionary aggregation over
+    // the analysis, once per micro-batch on the streaming path (the exact
+    // regression preparedDict exists to prevent). Built lazily only for
+    // the configs that consume it; dict.count() materializes the analyzed
+    // cache in dependency order first (its aggregation scans every
+    // partition), so no later broadcast-exchange job races a cold cache.
+    val needDict = cfg.saltedLink || (aliases.nonEmpty && entityStore.isEmpty)
+    val dict =
+      if (needDict) {
+        val d = dictFromAnalysis(analyzed)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        Some(d)
+      } else None
     try {
       if (analyzed.isEmpty) 0L
       else {
@@ -495,11 +512,11 @@ object KgPipeline {
         // anti-join against the already-committed sameAs partition so an
         // edge is committed exactly ONCE across batches (committing the
         // per-batch rebuild verbatim duplicated every recurring edge).
-        val pageT = triplesFromAnalysis(analyzed, None, cfg = cfg)
+        val pageT = triplesFromAnalysis(analyzed, None, preparedDict = dict, cfg = cfg)
         val sa = aliases.map { al =>
           val dictDf = entityStore match {
             case Some(es) => es.dict().toDF() // merged above → covers this batch
-            case None => EntityLink.dictFromSurfaceRows(surfaceRows(analyzed)).toDF()
+            case None => dict.get // cached (needDict covers this arm)
           }
           sameAsTriples(dictDf, al).join(
             store.committedForPred(Pred.SameAs).select(col("subj"), col("obj")),
@@ -508,7 +525,10 @@ object KgPipeline {
         val triples = sa.foldLeft(pageT)(_ unionByName _)
         store.commit(batchId, triples.unionByName(markers))
       }
-    } finally analyzed.unpersist(blocking = false)
+    } finally {
+      dict.foreach(_.unpersist(blocking = false))
+      analyzed.unpersist(blocking = false)
+    }
   }
 
   /** Run-scoped incremental topic assignment (J1's `id_run` dimension —

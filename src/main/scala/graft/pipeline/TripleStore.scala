@@ -182,10 +182,28 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // intermediate manifests (crash between commit and cleanup)
     val allSupersedes = if (supersedes.isEmpty) Nil else transitiveSupersedes(supersedes)
     val dir = dataDir(batch)
+    // NORMALIZE to the canonical stored columns/types BEFORE writing —
+    // the read side declares [[storedSchema]] instead of inferring, and
+    // compaction/rewrite re-reads batch dirs with that same declared
+    // schema, so the physical files MUST be uniform: a batch committed
+    // without `weight` (legal — markers and q46-style data carry none)
+    // or with an INT weight would otherwise mix footer schemas across
+    // batches, and a later fold of mixed batches would either drop the
+    // column for every row (schema inferred from one file) or throw a
+    // parquet INT32→BIGINT read error. Extra caller columns are dropped
+    // (the doc contract); subj/pred/obj are required.
+    val inCols = triples.columns.toSet
+    require(Seq("subj", "pred", "obj").forall(inCols),
+      s"commit requires columns subj, pred, obj; got ${triples.columns.mkString(", ")}")
     val withPartCols = triples
-      .withColumn("lang",
-        if (triples.columns.contains("lang")) coalesce(col("lang"), lit("und"))
-        else lit("und"))
+      .select(
+        col("subj").cast("string").as("subj"),
+        col("pred").cast("string").as("pred"),
+        col("obj").cast("string").as("obj"),
+        (if (inCols("weight")) col("weight").cast("bigint")
+         else lit(null).cast("bigint")).as("weight"),
+        (if (inCols("lang")) coalesce(col("lang").cast("string"), lit("und"))
+         else lit("und")).as("lang"))
       // marker predicates (processedIn*) use a COARSER bucket dimension:
       // nothing ever bucket-prunes markers (the anti-join filters pred
       // and joins on subj), so the full urlBuckets spread only multiplies
@@ -464,6 +482,14 @@ final class TripleStore(val root: String, spark: SparkSession) {
         // tiny, and it is released as soon as the bloom broadcast — an
         // eager action — is built. The anti-join itself still evaluates
         // the caller's plan once, as any join must.
+        // broadcast lifetime: the handle is captured by the udf below and
+        // lives as long as the returned (lazy) DataFrame — an explicit
+        // destroy() here would break the caller's later action. Cleanup
+        // is Spark's ContextCleaner: once the caller's trigger/action
+        // completes and drops the frame, driver GC reclaims the broadcast
+        // (executor blocks are MEMORY_AND_DISK, so an un-GC'd window
+        // spills rather than OOMs). A long-running stream thus stays
+        // bounded at O(in-flight triggers) blooms, not O(all triggers).
         val urls = pages.select(col(urlCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bf =
@@ -637,6 +663,12 @@ final class TripleStore(val root: String, spark: SparkSession) {
       if (nonEmpty.isEmpty) emptyTriples()
       else spark.read
         .option("basePath", s"$root/data")
+        // DECLARED schema, like committed(): commit normalizes every
+        // batch to these columns, and inference with mergeSchema off
+        // would sample ONE file's footer — against a store whose batches
+        // predate a schema addition that silently drops the column from
+        // the folded rewrite for every row
+        .schema(storedSchema)
         .parquet(nonEmpty.map(dataDir): _*)
         .drop("batch", "bucket")
     val cid = "zcompact-" + graft.util.Hashing.xxhash64(target.sorted.mkString(",")).toHexString
@@ -711,6 +743,7 @@ final class TripleStore(val root: String, spark: SparkSession) {
     if (affected.isEmpty) return
     val affectedData = spark.read
       .option("basePath", s"$root/data")
+      .schema(storedSchema) // declared, same reason as compactImpl
       .parquet(affected.map(dataDir).toIndexedSeq: _*)
     val remaining = keep(affectedData).drop("batch", "bucket") // re-derived on commit
     // deterministic rewrite id: a crashed delete retried with the same

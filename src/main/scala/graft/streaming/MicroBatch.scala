@@ -113,6 +113,13 @@ object MicroBatch {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    // resolve the result BEFORE dropping the memory-sink view (analysis
+    // is eager, so the plan keeps the sink data alive) — without the
+    // drop every invocation retains its full result set in the session
+    // catalog for the JVM's lifetime (same pattern as
+    // StreamingDedup.streamFirstSeenStaged)
+    val out = spark.table(queryName)
+    spark.catalog.dropTempView(queryName)
+    out
   }
 }

@@ -77,6 +77,22 @@ class MediaCodecsSpec extends SparkSpec {
       Seq(rows.find(_.id == 5L).get)).head)
   }
 
+  test("null media blob decodes as the empty blob through both decoders (no task kill)") {
+    import spark.implicits._
+    // a nullable binary column WILL carry nulls in production; NPE is
+    // deliberately outside the malformed-media catch, so null must be
+    // handled explicitly (as the empty blob), not caught
+    val rows = Seq(
+      MediaRow(1L, null, MediaMeta("image", 0, 0)),
+      MediaRow(2L, "not a media file".getBytes, MediaMeta("image", 0, 0)))
+    for (dec <- Seq(MediaCodecs.FormatDecoder, Multimodal.DecodeStub)) {
+      val got = Multimodal.extractFeatures(rows.toDS(), dec)
+        .collect().map(f => f.id -> f).toMap
+      assert(got(1L).n_bytes === 0L, s"$dec: null blob must read as 0 bytes")
+      assert(got(1L) === dec.decodeBatch(Seq(rows.head)).head)
+    }
+  }
+
   test("PPM nearest-neighbor resize is pixel-exact") {
     val src = MediaCodecs.parsePpm(ppm(4, 4)((x, y) => (x, y, x + y)))
     val half = MediaCodecs.resizePpm(src, 2, 2)

@@ -176,4 +176,37 @@ class TextFunctionsSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got === Seq("es", "en", "en", "en"))
   }
+
+  test("langScores/qualityColumns: NULL text scores as the empty text, never NULL metrics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Option("the cat the"), Some(""), None).toDF("text")
+    val (en, es) = graft.ops.TextAnalysis.langScores(col("text"))
+    val scores = df.select(en.as("en"), es.as("es"))
+      .as[(Int, Int)].collect().toSeq
+    assert(scores === Seq((2, 0), (0, 0), (0, 0)),
+      "null text must score (0,0) like langId's tie default, not (NULL,NULL)")
+    val q = df.select(graft.ops.TextAnalysis.qualityColumns(col("text"))
+      .map { case (n, c) => c.as(n) }: _*).collect()
+    // null ≡ "": split gives one empty token (Python ''.split(' ') parity)
+    for (r <- Seq(q(1), q(2))) {
+      assert(!(0 until r.length).exists(r.isNullAt), s"no NULL metric in $r")
+      assert(r.getLong(0) === 0L && r.getLong(1) === 1L)
+    }
+  }
+
+  test("regexTokenCount spells the token class [\\p{L}\\p{N}_] (not Java (?U)\\w)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "aé" counts (2 Unicode letters); "x" is too short; "b12"
+    // mixes L and N. "n\u0301o" is DECOMPOSED n + COMBINING ACUTE (Mn)
+    // + o: Java (?U)\w matches Mn and would see one 3-char token
+    // (count 1); the contract class breaks the run at the mark — "n"
+    // and "o" are each too short, count 0 (Python re and RE2 agree).
+    val got = Seq("aé x b12", "n\u0301o", "__ ok", "")
+      .toDF("text")
+      .select(graft.ops.TextAnalysis.regexTokenCount(col("text")))
+      .as[Int].collect().toSeq
+    assert(got === Seq(2, 0, 2, 0))
+  }
 }

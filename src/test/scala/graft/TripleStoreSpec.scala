@@ -482,4 +482,31 @@ class TripleStoreSpec extends SparkSpec {
     assert(store.committedBatches().size === 1)
     assert(store.committedBatches().head.startsWith("zcompact-"))
   }
+
+  test("commit normalizes schema: mixed weight-less/INT-weight batches survive compaction") {
+    import spark.implicits._
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    // b1: canonical BIGINT weight; b2: NO weight column (the q46 shape);
+    // b3: INT weight + an extra column the contract drops. Pre-fix, the
+    // compaction read inferred the schema from ONE file's footer, so the
+    // fold either dropped weight for every row or threw on INT32→BIGINT.
+    store.commit("b1", triples(("u1", "mentions", "e1", 7L)))
+    store.commit("b2", Seq(("u2", "mentions", "e2"))
+      .toDF("subj", "pred", "obj"))
+    store.commit("b3", Seq(("u3", "mentions", "e3", 3, "junk"))
+      .toDF("subj", "pred", "obj", "weight", "extra"))
+    def weights() = store.committed()
+      .select("subj", "weight").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val before = weights()
+    assert(before === Map("u1" -> Some(7L), "u2" -> None, "u3" -> Some(3L)))
+    assert(!store.committed().columns.contains("extra"),
+      "extra caller columns are dropped at commit")
+    store.compact()
+    assert(store.committedBatches().size === 1)
+    assert(weights() === before,
+      "weights must survive a fold of mixed-schema batches unchanged")
+  }
 }
