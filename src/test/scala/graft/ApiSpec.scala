@@ -85,8 +85,12 @@ class ApiSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](Api.analyzeText(trie, params, t, x))
       assert(e.getMessage.contains("must not be empty"))
     }
-    // a non-empty title alone passes: full_text = "Derby. " strips non-empty
-    assert(Api.analyzeText(trie, params, "Derby", "").entities !== null)
+    // a non-empty title alone passes: full_text = "Derby. " — pin it by
+    // equality with the direct empty-title spelling of the same full
+    // text (the old `entities !== null` could never fail: Seq fields
+    // are non-null by construction)
+    assert(Api.analyzeText(trie, params, "Derby", "") ===
+      Api.analyzeText(trie, params, "", "Derby. "))
     // null text with a title must NOT interpolate the string "null"
     val t = Api.analyzeText(trie, params, "Derby", null)
     assert(t === Api.analyzeText(trie, params, "Derby", ""))

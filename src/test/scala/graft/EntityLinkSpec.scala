@@ -29,11 +29,6 @@ class EntityLinkSpec extends SparkSpec {
     assert(biden.entity_mentions_count === 6L)
     assert(biden.news_count === 2L)
     assert(biden.id_entity === Hashing.xxhash64("biden", "PERSON"))
-    // exact tie: "BIDEN"=1 vs ... construct a pure tie separately
-    val tied = Seq(m("u1", "Zeta"), m("u1", "alpha")).toDS()
-    val t = EntityLink.buildEntityDict(tied).collect()
-    // norms differ ("zeta"/"alpha") → two entities; per-norm single surface
-    assert(t.length === 2)
   }
 
   test("A2 tie-break within one norm: count tie → entity_text ASC") {

@@ -164,14 +164,20 @@ class EntityStoreSpec extends SparkSpec {
     val dirtyBucket = math.floorMod(
       graft.util.Hashing.xxhash64("ent0"), EntityStore.dictBuckets.toLong).toInt
     // every clean bucket file in v2 is the SAME inode as v1's (hard link)
+    // Files.list returns a stream over an OPEN DirectoryStream — close it
+    // (an unclosed one holds an fd until GC; the suite shares one JVM
+    // with Spark's own fd appetite)
+    def listDir(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(d)
+      try st.toArray.toSeq.map(x => java.nio.file.Paths.get(x.toString))
+      finally st.close()
+    }
     var linked = 0
-    java.nio.file.Files.list(v2).toArray.toSeq
-      .map(x => java.nio.file.Paths.get(x.toString))
+    listDir(v2)
       .filter(_.getFileName.toString.startsWith("bucket=")).foreach { d =>
         val k = d.getFileName.toString.stripPrefix("bucket=").toInt
         if (k != dirtyBucket) {
-          java.nio.file.Files.list(d).toArray.toSeq
-            .map(x => java.nio.file.Paths.get(x.toString))
+          listDir(d)
             .filter(_.toString.endsWith(".parquet")).foreach { f =>
               val twin = v1.resolve(d.getFileName.toString).resolve(f.getFileName)
               assert(java.nio.file.Files.exists(twin), s"$twin")

@@ -30,7 +30,6 @@ class NerSpec extends SparkSpec {
     val trie = TokenTrie(gaz)
     val toks = "joe biden met biden in new york".split(" ")
     val got = trie.findMentions(toks)
-      .map { case (s, t, b, e) => (s, t, b, e) }
     assert(got === List(
       ("joe biden", "PERSON", 0, 2),
       ("biden", "PERSON", 3, 4),

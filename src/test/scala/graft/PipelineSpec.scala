@@ -75,6 +75,14 @@ class PipelineSpec extends SparkSpec {
       .map { case (a, b, t) => (s"$a|$t", s"$b|$t") }
       .filter { case (a, b) => mentioned.contains(a) && mentioned.contains(b) }
     assert(expectedPairs.nonEmpty, "fixture must exercise the sameAs path")
+    // the per-pair XOR below is only valid for DISJOINT 2-node alias
+    // components: edges are (non-canonical -> component-canonical), so a
+    // chained alias a-b-c would emit (b,canon),(c,canon) and NEITHER
+    // direction of (b,c). Pin the fixture shape here so a chain added
+    // later fails with this message, not as a mysterious XOR failure.
+    val aliasNorms = FixtureGazetteer.aliasPairs.flatMap { case (a, b, _) => Seq(a, b) }
+    assert(aliasNorms.distinct.size === aliasNorms.size,
+      "alias fixture must stay disjoint pairs for the direction check below")
     expectedPairs.foreach { case (a, b) =>
       // canonical = min entity id of the component; exactly one direction
       assert(sameAs.contains((a, b)) ^ sameAs.contains((b, a)),

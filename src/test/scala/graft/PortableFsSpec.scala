@@ -74,7 +74,8 @@ class PortableFsSpec extends SparkSpec {
     // clean buckets were forwarded as hard links (local scheme fast path):
     // at least one parquet in v=2 has link count > 1
     val v2 = java.nio.file.Paths.get(new java.net.URI(root)).resolve("v=2")
-    val linked = java.nio.file.Files.walk(v2).toArray.map(_.toString)
+    val walk = java.nio.file.Files.walk(v2) // close: holds an open fd
+    val linked = (try walk.toArray.map(_.toString) finally walk.close())
       .filter(_.endsWith(".parquet"))
       .map(p => java.nio.file.Files.getAttribute(
         java.nio.file.Paths.get(p), "unix:nlink").asInstanceOf[Int])

@@ -12,6 +12,17 @@ class TripleStoreSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("graft_store_").toString
 
+  /** FileSourceScanExecs of an executed plan, AQE wrappers unwrapped —
+    * ONE definition so the two partition-pruning gates cannot diverge.
+    */
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(scans)
+  }
+
   private def triples(rows: (String, String, String, Long)*) = {
     import spark.implicits._
     rows.toDF("subj", "pred", "obj", "weight")
@@ -207,13 +218,6 @@ class TripleStoreSpec extends SparkSpec {
       s"anti-join store scan must prune on pred:\n$plan")
     // ...and the files it reads must ALL be marker files (pred=processedIn
     // directories) — the data-triple partitions never enter the scan
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
     val scannedMarkerOnly = scans(todo.queryExecution.executedPlan)
       .flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
     assert(scannedMarkerOnly.nonEmpty)
@@ -234,13 +238,6 @@ class TripleStoreSpec extends SparkSpec {
     val disc = store.committed().filter(col("pred") === "hasTopic:run1")
       .select(col("batch")).distinct()
     assert(disc.as[String].collect().toSeq === Seq("b1"))
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
     val files = scans(disc.queryExecution.executedPlan)
       .flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
     assert(files.nonEmpty)
@@ -397,11 +394,13 @@ class TripleStoreSpec extends SparkSpec {
     assert(java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(root, "_manifest", "b2.commit")) === b2Mtime)
     assert(store.committed().select("subj").as[String].collect().toSeq === Seq("u2"))
-    // crash-window simulation: a superseding manifest makes old batches
-    // dead the instant it lands, even if cleanup never ran — recreate the
-    // pre-cleanup state and check liveness resolution
+    // liveness after the swap: the superseded b1 must be DEAD (never
+    // live alongside its rewrite), b2 untouched, and the only other live
+    // batch the zrewrite itself (rows:0 manifests still count for
+    // lineage). The old disjunctive assert accepted b1 staying live.
     val live = store.committedBatches()
-    assert(live.exists(_.startsWith("zrewrite-")) || live === Seq("b2"))
+    assert(!live.contains("b1"), s"superseded b1 must be dead: $live")
+    assert(live.filterNot(_.startsWith("zrewrite-")) === Seq("b2"), s"$live")
   }
 
   test("deleteScoped deletes only matching rows of in-scope subjects") {
@@ -427,7 +426,18 @@ class TripleStoreSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       store.commit("b1", triples(("u1", "mentions", "e1", 1L)))
-      Thread.sleep(300) // let the listener bus drain
+      // drain the ASYNC listener bus by stability, not a fixed sleep: a
+      // fixed 300 ms could undercount late-delivered extra jobs under
+      // co-tenant load and false-PASS this regression gate. Wait until
+      // the count is unchanged for 500 ms (cap 5 s).
+      val deadline = System.nanoTime() + 5000000000L
+      var last = jobs.get(); var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - stableSince < 500000000L) {
+        Thread.sleep(50)
+        val now = jobs.get()
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
     } finally spark.sparkContext.removeSparkListener(l)
     // round 1 ran THREE extra scan jobs (per-file groupBy, per-pred
     // groupBy, count) after the write; metrics now ride the write job
