@@ -11,17 +11,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** CPU-steal jiffies from /proc/stat (field 9 of the aggregate cpu
-    * line; USER_HZ = 100). −1 when unreadable (non-Linux).
-    */
-  private def stealJiffies(): Long =
-    try {
-      java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
-        .get(0).trim.split("\\s+") match {
-          case a if a.length > 8 && a(0) == "cpu" => a(8).toLong
-          case _ => -1L
-        }
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+  private def stealJiffies(): Long = graft.bench.Steal.jiffies()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,9 +88,7 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val s1 = stealJiffies()
-      val qSteal =
-        if (s0 < 0 || s1 < 0 || sec <= 0) -1.0
-        else math.rint((s1 - s0) / 100.0 / sec * 100) / 100
+      val qSteal = graft.bench.Steal.avgCores(s0, s1, sec)
       (name, sec, qSteal)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -111,9 +99,7 @@ object Bench {
     val failedJson = failed.result().map(n => s"\"$n\"").mkString("[", ",", "]")
     val steal1 = stealJiffies()
     val wallSec = (System.nanoTime() - tWall0) / 1e9
-    val stealCores =
-      if (steal0 < 0 || steal1 < 0 || wallSec <= 0) -1.0
-      else math.rint((steal1 - steal0) / 100.0 / wallSec * 100) / 100
+    val stealCores = graft.bench.Steal.avgCores(steal0, steal1, wallSec)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_steal":$qSteals,"index_build_sec":$idxBuildSec,"stream_stage_sec":$streamStageSec,"steal_cores":$stealCores$onlyJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

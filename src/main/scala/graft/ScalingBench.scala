@@ -179,10 +179,15 @@ object ScalingBench {
         .toDF("doc_id", "text").write.mode("overwrite").parquet(warm)
       runDedup(s, warm)
       val nDocs = s.read.parquet(dir).count()
+      // steal sampled over the RUN's own window (bracketing probes in the
+      // session script miss mid-run bursts — round-5 pair 2 read 0.694
+      // with 0.00 probes on both sides)
+      val j0 = graft.bench.Steal.jiffies()
       val t0 = System.nanoTime()
       val (rows, dups) = runDedup(s, dir)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"level":"local[$c]","mode":"dedup","cores":$c,"seconds":$sec%.2f,"docs":$nDocs,"cluster_rows":$rows,"folded_dups":$dups,"docs_per_sec":${nDocs / sec}%.1f}""")
+      val st = graft.bench.Steal.avgCores(j0, graft.bench.Steal.jiffies(), sec)
+      println(f"""{"level":"local[$c]","mode":"dedup","cores":$c,"seconds":$sec%.2f,"docs":$nDocs,"cluster_rows":$rows,"folded_dups":$dups,"docs_per_sec":${nDocs / sec}%.1f,"steal_cores":$st}""")
       s.stop()
 
     case "run" :: dir :: cores :: Nil =>
@@ -195,10 +200,13 @@ object ScalingBench {
       PageGen.pages(s, 2000L).toDF().write.mode("overwrite").parquet(warm)
       runPipeline(s, warm)
       val nPages = s.read.parquet(dir).count()
+      // in-run steal (see run-dedup note): the level's own window
+      val j0 = graft.bench.Steal.jiffies()
       val t0 = System.nanoTime()
       val triples = runPipeline(s, dir)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"level":"local[$c]","cores":$c,"seconds":$sec%.2f,"pages":$nPages,"triples":$triples,"pages_per_sec":${nPages / sec}%.1f,"triples_per_sec":${triples / sec}%.1f}""")
+      val st = graft.bench.Steal.avgCores(j0, graft.bench.Steal.jiffies(), sec)
+      println(f"""{"level":"local[$c]","cores":$c,"seconds":$sec%.2f,"pages":$nPages,"triples":$triples,"pages_per_sec":${nPages / sec}%.1f,"triples_per_sec":${triples / sec}%.1f,"steal_cores":$st}""")
       s.stop()
 
     case _ =>
