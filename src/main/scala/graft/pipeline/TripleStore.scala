@@ -55,7 +55,16 @@ object PredCounter extends Aggregator[String, Map[String, Long], String] {
   *     re-reads — and on the fast path never re-opens — the data it just
   *     wrote.
   */
-final class TripleStore(val root: String, spark: SparkSession) {
+final class TripleStore(val root: String, spark: SparkSession,
+    /** Minimum AGE of an unmanifested `batch=z*` staging dir before the
+      * orphan sweep may delete it. The sweep's safety argument ("z dirs
+      * are written synchronously inside maintenance calls") holds only
+      * UNDER the maintenance lock; the grace is the belt for the
+      * stale-lock-takeover edge, where a stuck-but-alive maintainer's
+      * in-flight staging could otherwise be swept by its usurper. Tests
+      * recovering a crashed store pass 0.
+      */
+    zOrphanGraceMs: Long = TripleStore.DefaultZOrphanGraceMs) {
 
   /** All manifest I/O goes through the Hadoop FileSystem API
     * ([[graft.util.StoreFs]]) so the store root may be a bare local
@@ -88,6 +97,47 @@ final class TripleStore(val root: String, spark: SparkSession) {
   private def manifestNames(): Seq[String] =
     sfs.listNames(manifestDir).filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit"))
+
+  /** Advisory MAINTENANCE lock (compaction, predicated delete, orphan
+    * sweep). Plain ingest commits are NOT locked — batch dirs and
+    * manifests are writer-private until the atomic manifest rename. The
+    * lock exists because maintenance is not safe against ITSELF: two
+    * concurrent folds over overlapping live sets both land superseding
+    * manifests and duplicate the overlap's rows, and the orphan sweep
+    * deletes the other maintainer's in-flight `z*` staging (two streams
+    * sharing one store — ingest + run-scoped assignment — run
+    * autoCompact on every trigger by default, so this is the default
+    * topology, not an exotic one). Holder crash recovery: a lock older
+    * than [[TripleStore.LockStaleMs]] is taken over.
+    */
+  private val lockPath: HPath = new HPath(manifestDir, "_maintain.lock")
+
+  private def tryMaintenanceLock(): Boolean = {
+    def attempt() = sfs.createNew(lockPath, s"${System.currentTimeMillis()}\n")
+    attempt() || {
+      val m = sfs.mtime(lockPath)
+      if (m >= 0 && System.currentTimeMillis() - m > TripleStore.LockStaleMs) {
+        sfs.delete(lockPath, false) // holder crashed mid-maintenance
+        attempt()
+      } else false
+    }
+  }
+
+  private def awaitMaintenanceLock(): Unit = {
+    val deadline = System.currentTimeMillis() + TripleStore.LockWaitMs
+    var got = tryMaintenanceLock()
+    while (!got && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      got = tryMaintenanceLock()
+    }
+    require(got, s"maintenance lock $lockPath not acquired within " +
+      s"${TripleStore.LockWaitMs} ms — another maintainer is running " +
+      "(or crashed more recently than the stale-takeover threshold)")
+  }
+
+  private def unlockMaintenance(): Unit =
+    try sfs.delete(lockPath, false)
+    catch { case _: java.io.IOException => () }
 
   private def readManifest(b: String): String = sfs.readString(manifestPath(b))
 
@@ -362,28 +412,14 @@ final class TripleStore(val root: String, spark: SparkSession) {
     */
   private def footerRowCounts(fileList: Seq[org.apache.hadoop.fs.Path]): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
-    if (fileList.isEmpty) return Seq.empty
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration._
-    // dedicated bounded IO pool: footer opens BLOCK on filesystem IO, so
-    // running them on ExecutionContext.global (sized to CPU count) would
-    // starve any driver-side user of the global EC for the duration of a
-    // large commit; a finite await turns a hung filesystem into an error
-    // instead of a silent driver wedge
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, fileList.size.max(1)))
-    try {
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      Await.result(Future.traverse(fileList) { p =>
-        Future {
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-          try (p.toString, reader.getRecordCount)
-          finally reader.close()
-        }
-      }, 10.minutes)
-    } finally pool.shutdownNow() // interrupt stragglers: a hung filesystem
-                                 // must not pin non-daemon threads forever
+    // bounded IO fan-out through the one shared helper (StoreFs
+    // .mapConcurrent): footer opens block on filesystem IO
+    sfs.mapConcurrent(fileList) { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try (p.toString, reader.getRecordCount)
+      finally reader.close()
+    }
   }
 
   /** All committed triples (subj, pred, obj, weight, lang, bucket, batch —
@@ -541,24 +577,10 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // serial pass would add seconds of driver latency per micro-batch.
     val conf = spark.sessionState.newHadoopConf()
     val candidates = nonEmptyBatches().map(b => s"${dataDir(b)}/pred=$escaped")
-    val dirs =
-      if (candidates.isEmpty) Seq.empty[String]
-      else {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration._
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(32, candidates.size))
-        try {
-          implicit val ec: ExecutionContext =
-            ExecutionContext.fromExecutorService(pool)
-          Await.result(Future.traverse(candidates) { d =>
-            Future {
-              val p = new org.apache.hadoop.fs.Path(d)
-              if (p.getFileSystem(conf).exists(p)) Some(d) else None
-            }
-          }, 10.minutes).flatten
-        } finally pool.shutdownNow()
-      }
+    val dirs = sfs.mapConcurrent(candidates) { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (p.getFileSystem(conf).exists(p)) Some(d) else None
+    }.flatten
     if (dirs.isEmpty) emptyStored()
     else spark.read
       .option("basePath", s"$root/data")
@@ -605,8 +627,11 @@ final class TripleStore(val root: String, spark: SparkSession) {
     * compaction bounds both the manifest count and the file count
     * (commit writes one file per (lang, bucket)).
     */
-  def compact(batches: Seq[String] = Seq.empty): Unit =
-    compactImpl(batches, runCleanup = true)
+  def compact(batches: Seq[String] = Seq.empty): Unit = {
+    awaitMaintenanceLock()
+    try compactImpl(batches, runCleanup = true)
+    finally unlockMaintenance()
+  }
 
   /** Size-tiered auto-compaction (the streaming maintenance policy):
     * while more than `maxLive` batches are live, fold the SMALLEST
@@ -619,19 +644,26 @@ final class TripleStore(val root: String, spark: SparkSession) {
     */
   def autoCompact(maxLive: Int = 16, fanIn: Int = 8): Int = {
     require(maxLive >= 2 && fanIn >= 2, "autoCompact needs maxLive, fanIn >= 2")
-    var rounds = 0
-    var live = committedBatches()
-    while (live.size > maxLive) {
-      val bySize = live.map { b =>
-        b -> RowsRe.findFirstMatchIn(readManifest(b))
-          .map(_.group(1).toLong).getOrElse(0L)
+    if (committedBatches().size <= maxLive) return 0
+    // opportunistic maintenance SKIPS when another maintainer holds the
+    // lock (a concurrent stream's trigger will fold soon enough); only
+    // explicit compact()/delete calls wait
+    if (!tryMaintenanceLock()) return 0
+    try {
+      var rounds = 0
+      var live = committedBatches()
+      while (live.size > maxLive) {
+        val bySize = live.map { b =>
+          b -> RowsRe.findFirstMatchIn(readManifest(b))
+            .map(_.group(1).toLong).getOrElse(0L)
+        }
+        val smallest = bySize.sortBy { case (b, r) => (r, b) }.take(fanIn).map(_._1)
+        compactImpl(smallest, runCleanup = true) // lock already held
+        rounds += 1
+        live = committedBatches()
       }
-      val smallest = bySize.sortBy { case (b, r) => (r, b) }.take(fanIn).map(_._1)
-      compact(smallest)
-      rounds += 1
-      live = committedBatches()
-    }
-    rounds
+      rounds
+    } finally unlockMaintenance()
   }
 
   /** Crash-simulation seam (tests only): compact without the best-effort
@@ -713,11 +745,15 @@ final class TripleStore(val root: String, spark: SparkSession) {
     val dataRoot = new HPath(s"$root/data")
     val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dataRoot)) {
+      // grace window: only z dirs OLDER than zOrphanGraceMs are swept —
+      // a young unmanifested dir may be another maintainer's in-flight
+      // staging (reachable despite the lock via stale-lock takeover)
+      val cutoff = System.currentTimeMillis() - zOrphanGraceMs
       val orphans = fs.listStatus(dataRoot).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(_.startsWith("batch=z"))
-        .map(_.stripPrefix("batch="))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch=z") &&
+          st.getModificationTime < cutoff)
+        .map(_.getPath.getName.stripPrefix("batch="))
         .filterNot(manifested)
       if (orphans.nonEmpty) cleanup(orphans)
     }
@@ -732,6 +768,14 @@ final class TripleStore(val root: String, spark: SparkSession) {
     }
 
   private def rewriteExcluding(
+      matching: DataFrame => DataFrame,
+      keep: DataFrame => DataFrame): Unit = {
+    awaitMaintenanceLock()
+    try rewriteExcludingLocked(matching, keep)
+    finally unlockMaintenance()
+  }
+
+  private def rewriteExcludingLocked(
       matching: DataFrame => DataFrame,
       keep: DataFrame => DataFrame): Unit = {
     val live = committedBatches()
@@ -753,4 +797,22 @@ final class TripleStore(val root: String, spark: SparkSession) {
     // best-effort cleanup of dead manifests + data (already superseded)
     cleanup(affected.toIndexedSeq)
   }
+}
+
+object TripleStore {
+  /** See the constructor param: minimum age before an unmanifested z*
+    * staging dir counts as a crash orphan.
+    */
+  val DefaultZOrphanGraceMs: Long = 15L * 60 * 1000
+
+  /** A maintenance lock older than this is treated as a crashed holder
+    * and taken over. Must comfortably exceed the longest legitimate
+    * single maintenance operation (a fold/rewrite of fanIn batches).
+    */
+  val LockStaleMs: Long = 30L * 60 * 1000
+
+  /** How long explicit compact()/delete calls wait for the lock before
+    * failing loudly.
+    */
+  val LockWaitMs: Long = 10L * 60 * 1000
 }

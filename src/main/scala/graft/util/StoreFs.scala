@@ -168,6 +168,60 @@ final class StoreFs(val root: String, conf: Configuration) {
 
   def delete(p: Path, recursive: Boolean): Boolean = fs.delete(p, recursive)
 
+  /** Create `p` with `content` ONLY if it does not exist — the advisory-
+    * lock primitive. Atomic-exclusive per scheme: local uses nio
+    * CREATE_NEW (O_EXCL; Hadoop's RawLocalFileSystem `create(overwrite=
+    * false)` is a TOCTOU exists-then-create), HDFS `create(overwrite=
+    * false)` is NameNode-atomic. S3 has no exclusive-put in this API —
+    * same caveat (and same production answer) as the rename contract in
+    * the class doc. Returns false if `p` already exists.
+    */
+  def createNew(p: Path, content: String): Boolean =
+    if (isLocal) {
+      try {
+        java.nio.file.Files.write(localPath(p),
+          content.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.FileNotFoundException => false
+      }
+    }
+
+  /** Modification time of `p` in epoch millis; −1 when missing. */
+  def mtime(p: Path): Long =
+    try fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => -1L }
+
+  /** Run `f` over `items` on a dedicated bounded IO pool and await all
+    * results — ONE definition of the blocking-filesystem-fanout pattern
+    * (footer opens, per-dir existence probes). The ops BLOCK on
+    * filesystem IO, so `ExecutionContext.global` (CPU-sized) would
+    * starve other driver work for the duration; the finite await turns a
+    * hung filesystem into an error instead of a silent driver wedge, and
+    * `shutdownNow` interrupts stragglers so non-daemon threads cannot
+    * pin the JVM.
+    */
+  def mapConcurrent[A, B](items: Seq[A], poolCap: Int = 32)(f: A => B): Seq[B] = {
+    if (items.isEmpty) return Seq.empty
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(poolCap, items.size).max(1))
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      Await.result(Future.traverse(items)(a => Future(f(a))), 10.minutes)
+    } finally pool.shutdownNow()
+  }
+
   /** Whether the root resolves to the local filesystem (hard links legal). */
   def isLocal: Boolean = fs.getScheme == "file"
 

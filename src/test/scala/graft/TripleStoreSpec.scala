@@ -45,7 +45,9 @@ class TripleStoreSpec extends SparkSpec {
 
   test("compaction sweeps orphan z-staging dirs but never unmanifested ingest dirs") {
     val root = tmp()
-    val store = new TripleStore(root, spark)
+    // grace 0: this test models recovering a LONG-crashed store; the
+    // default 15-min grace protects a live maintainer's young staging
+    val store = new TripleStore(root, spark, zOrphanGraceMs = 0L)
     for (i <- 1 to 3)
       store.commit(s"b$i", triples((s"u$i", "mentions", s"e$i", 1L)))
     // a crashed earlier compaction: zcompact data written, manifest never
@@ -61,6 +63,43 @@ class TripleStoreSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(s"$root/data/batch=stream-00000042")),
       "unmanifested non-staging dirs are a writer's in-flight state — keep")
     assert(store.committed().count() === 3L)
+  }
+
+  test("a YOUNG unmanifested z dir survives the sweep inside the default grace window") {
+    val root = tmp()
+    val store = new TripleStore(root, spark) // default grace
+    store.commit("b1", triples(("u1", "mentions", "e1", 1L)))
+    store.commit("b2", triples(("u2", "mentions", "e2", 1L)))
+    // another maintainer's seconds-old in-flight staging (reachable via
+    // stale-lock takeover) must NOT be treated as a crash orphan yet
+    triples(("ux", "mentions", "ex", 1L)).write
+      .parquet(s"$root/data/batch=zcompact-inflight")
+    store.compact()
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/data/batch=zcompact-inflight")),
+      "young z staging swept — the grace window is not applied")
+  }
+
+  test("autoCompact skips when another maintainer holds the lock; explicit compact takes over a stale one") {
+    val root = tmp()
+    val store = new TripleStore(root, spark)
+    for (i <- 1 to 5)
+      store.commit(f"b$i%02d", triples((s"u$i", "mentions", s"e$i", 1L)))
+    val lock = java.nio.file.Paths.get(root, "_manifest", "_maintain.lock")
+    Files.writeString(lock, "held")
+    // opportunistic maintenance must SKIP (another stream's trigger owns
+    // maintenance right now), never fold concurrently
+    assert(store.autoCompact(maxLive = 2, fanIn = 2) === 0)
+    assert(store.committedBatches().size === 5)
+    // a STALE lock (crashed holder) is taken over by an explicit compact
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - TripleStore.LockStaleMs - 60000L))
+    store.compact()
+    assert(store.committedBatches().size === 1)
+    assert(!Files.exists(lock), "lock must be released after maintenance")
+    // lock free again: opportunistic maintenance works
+    store.commit("c1", triples(("v1", "mentions", "f1", 1L)))
+    store.commit("c2", triples(("v2", "mentions", "f2", 1L)))
+    assert(store.autoCompact(maxLive = 2, fanIn = 2) >= 1)
   }
 
   test("manifest carries per-partition lineage and per-pred metrics") {
