@@ -514,13 +514,50 @@ object KgPipeline {
         // per-batch rebuild verbatim duplicated every recurring edge).
         val pageT = triplesFromAnalysis(analyzed, None, preparedDict = dict, cfg = cfg)
         val sa = aliases.map { al =>
-          val dictDf = entityStore match {
-            case Some(es) => es.dict().toDF() // merged above → covers this batch
-            case None => dict.get // cached (needDict covers this arm)
+          entityStore match {
+            case Some(es) =>
+              // CUMULATIVE dict (merged above → covers this batch): the
+              // current canonicalization is authoritative, and a
+              // component that MERGES across batches CHANGES its
+              // canonical (the min entity id). Committing only the new
+              // edges would leave the old canonical's edges alongside —
+              // two canonical targets for one entity, diverging from a
+              // batch run over the same corpus. So: RETRACT committed
+              // edges no longer in the current set (COW delete of the
+              // affected subjects' sameAs rows), then anti-join against
+              // the post-delete store, which recommits every current
+              // edge those subjects lost plus the genuinely new ones.
+              // Kill-anywhere safe: a crash after the retraction finds
+              // an identical current set on retry (merge() no-ops), no
+              // stale edges, and the anti-join still recommits the
+              // deleted-but-current rows. All frames are dict-scale; the
+              // COW rewrite runs only when a component actually merged.
+              val current = sameAsTriples(es.dict().toDF(), al)
+              val stale = store.committedForPred(Pred.SameAs)
+                .select(col("subj"), col("obj"))
+                .join(current.select(col("subj"), col("obj")),
+                  Seq("subj", "obj"), "left_anti")
+                .select(col("subj")).distinct()
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                if (!stale.isEmpty)
+                  store.deleteScoped(col("pred") === Pred.SameAs, stale)
+              } finally stale.unpersist(blocking = false)
+              // committedForPred called AFTER the retraction: its batch
+              // listing is eager, so the anti-join binds the post-delete
+              // snapshot
+              current.join(
+                store.committedForPred(Pred.SameAs).select(col("subj"), col("obj")),
+                Seq("subj", "obj"), "left_anti")
+            case None =>
+              // batch-local dict: an edge materializes only when both
+              // endpoints appear in ONE batch, and no cumulative
+              // canonicalization exists to retract against (documented
+              // limitation of the store-less incremental mode)
+              sameAsTriples(dict.get, al).join(
+                store.committedForPred(Pred.SameAs).select(col("subj"), col("obj")),
+                Seq("subj", "obj"), "left_anti")
           }
-          sameAsTriples(dictDf, al).join(
-            store.committedForPred(Pred.SameAs).select(col("subj"), col("obj")),
-            Seq("subj", "obj"), "left_anti")
         }
         val triples = sa.foldLeft(pageT)(_ unionByName _)
         store.commit(batchId, triples.unionByName(markers))

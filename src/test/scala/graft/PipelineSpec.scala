@@ -177,6 +177,53 @@ class PipelineSpec extends SparkSpec {
     assert(sa.toSet === single)
   }
 
+  test("incremental sameAs RETRACTS stale canonicals when a component merges across batches") {
+    import spark.implicits._
+    import graft.ner.{GazEntry, TokenTrie}
+    // three single-token ORG entities forming the alias chain n1-n2-n3;
+    // the entity with the SMALLEST id (xxhash64(norm, type)) must arrive
+    // in batch 2 so the component's canonical CHANGES when it merges
+    val norms = Seq("alphacorp", "betacorp", "gammacorp")
+    val byId = norms.sortBy(n => graft.util.Hashing.xxhash64(n, "ORG"))
+    val last = byId.head // smallest id → final canonical, held back to b2
+    val Seq(x, y) = norms.filterNot(_ == last)
+    val chain = Seq((x, y, "ORG"), (y, last, "ORG")).toDF(
+      "norm_a", "norm_b", "entity_type")
+    val trie = spark.sparkContext.broadcast(
+      TokenTrie(norms.map(GazEntry(_, "ORG"))))
+    def page(url: String, text: String) =
+      Seq((url, "20240101000000", s"<p>$text</p>", text, "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+    val store = new TripleStore(
+      Files.createTempDirectory("graft_sar_").toString, spark)
+    val es = new graft.pipeline.EntityStore(
+      Files.createTempDirectory("graft_sare_").toString, spark)
+    // batch 1: only x and y exist → edge within {x,y}, canonical min(x,y)
+    KgPipeline.runIncremental(store, "b1", page("u1", s"$x met $y"),
+      trie, paramsBc, KgPipeline.Config(), Some(es), Some(chain))
+    val sa1 = store.committed().filter(col("pred") === Pred.SameAs)
+      .select("subj", "obj").as[(String, String)].collect().toSet
+    assert(sa1.size === 1, s"batch 1 must canonicalize the 2-node component: $sa1")
+    // batch 2 introduces the smallest-id entity → component {x,y,last},
+    // canonical changes → batch 1's edge is now STALE and must be
+    // retracted, not merely supplemented
+    KgPipeline.runIncremental(store, "b2", page("u2", s"$last wins"),
+      trie, paramsBc, KgPipeline.Config(), Some(es), Some(chain))
+    val sa2 = store.committed().filter(col("pred") === Pred.SameAs)
+      .select("subj", "obj").as[(String, String)].collect().toSet
+    val expected = Set(
+      (s"$x|ORG", s"$last|ORG"), (s"$y|ORG", s"$last|ORG"))
+    assert(sa2 === expected,
+      s"incremental must equal the batch canonicalization; got $sa2 " +
+        s"(a leftover ${sa1.head} means stale edges were not retracted)")
+    // replay of b2 is a no-op (kill-anywhere idempotence preserved)
+    KgPipeline.runIncremental(store, "b2", page("u2", s"$last wins"),
+      trie, paramsBc, KgPipeline.Config(), Some(es), Some(chain))
+    val sa3 = store.committed().filter(col("pred") === Pred.SameAs)
+      .select("subj", "obj").as[(String, String)].collect().toSet
+    assert(sa3 === expected)
+  }
+
   test("analyze: text_identical holds corpus-wide; surfaces are in-page counts") {
     import spark.implicits._
     val analyzed = KgPipeline.analyze(
