@@ -66,8 +66,20 @@ import graft.schema.EntityRecord
   * loudly (FileNotFoundException), never silently wrong.
   */
 final class EntityStore(val root: String, spark: SparkSession,
-    retainVersions: Int = 2) {
+    retainVersions: Int = 2,
+    /** How many of the most recent merged batch ids each version
+      * remembers — the REPLAY-IDEMPOTENCE WINDOW. A replayed merge of a
+      * batch inside the window is a no-op; older ids are forgotten, so
+      * an orchestrator must never replay a batch more than
+      * `batchHistory` merges old (runIncremental callers are safe: a
+      * completed batch has `processedIn` markers and is never replayed
+      * at all — only in-flight retries re-enter merge, always within a
+      * few versions). Bounding the history keeps the per-merge
+      * `_batches` read/rewrite O(window), not O(stream lifetime).
+      */
+    batchHistory: Int = 100000) {
   require(retainVersions >= 1, "retainVersions must be >= 1")
+  require(batchHistory >= 1, "batchHistory must be >= 1")
 
   import spark.implicits._
   import EntityStore.dictBuckets
@@ -87,13 +99,18 @@ final class EntityStore(val root: String, spark: SparkSession,
   private def currentVersion(): Long =
     if (sfs.exists(latestPtr)) sfs.readString(latestPtr).trim.toLong else 0L
 
-  /** Batch ids already merged into the current version. */
-  def mergedBatches(): Set[String] = {
+  /** Batch ids remembered by the current version, NEWEST FIRST (the
+    * `batchHistory` window — see the constructor param).
+    */
+  private def mergedBatchesOrdered(): Seq[String] = {
     val v = currentVersion()
-    if (v == 0L) Set.empty
+    if (v == 0L) Seq.empty
     else sfs.readString(new HPath(versionDir(v), "_batches"))
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** Batch ids already merged, within the replay window. */
+  def mergedBatches(): Set[String] = mergedBatchesOrdered().toSet
 
   private def table(v: Long, name: String, schemaDDL: String): DataFrame = {
     val dir = new HPath(versionDir(v), name)
@@ -125,8 +142,8 @@ final class EntityStore(val root: String, spark: SparkSession,
     * Returns false (no-op) if `batchId` was already merged.
     */
   def merge(batchId: String, surfaceRows: DataFrame): Boolean = {
-    val already = mergedBatches()
-    if (already.contains(batchId)) return false
+    val alreadyOrdered = mergedBatchesOrdered()
+    if (alreadyOrdered.contains(batchId)) return false
     val v = currentVersion()
     val batchSurf = withBucket(surfaceRows
       .groupBy($"entity_text_norm", $"entity_type", $"entity_text")
@@ -159,8 +176,10 @@ final class EntityStore(val root: String, spark: SparkSession,
       // clean buckets ride forward as hard links (local) / copies (remote)
       linkCleanBuckets(v, nextDir, "surfaces", dirty.toSet)
       linkCleanBuckets(v, nextDir, "news", dirty.toSet)
+      // newest-first, truncated to the replay window (constructor doc)
       sfs.writeString(new HPath(nextDir, "_batches"),
-        (already + batchId).toSeq.sorted.mkString("", "\n", "\n"))
+        (batchId +: alreadyOrdered).take(batchHistory)
+          .mkString("", "\n", "\n"))
       sfs.writeStringAtomic(latestPtr, next.toString,
         tmpName = s"_latest.tmp$next")
       pruneVersions(next)
@@ -170,15 +189,17 @@ final class EntityStore(val root: String, spark: SparkSession,
 
   /** Delete version dirs older than `retainVersions` behind `current`.
     * Crash-safe: only already-superseded snapshots are touched; a retry
-    * just re-prunes.
+    * just re-prunes. LISTS the actual `v=*` dirs instead of walking
+    * downward from the cutoff — a walk that stops at the first missing
+    * dir would strand anything below a gap (crash between two deletes)
+    * unreachable by GC forever.
     */
-  private def pruneVersions(current: Long): Unit = {
-    var v = current - retainVersions
-    while (v >= 1L && sfs.exists(versionDir(v))) {
-      sfs.delete(versionDir(v), recursive = true)
-      v -= 1L
-    }
-  }
+  private def pruneVersions(current: Long): Unit =
+    sfs.listNames(sfs.rootPath)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+      .filter(v => v >= 1L && v <= current - retainVersions)
+      .foreach(v => sfs.delete(versionDir(v), recursive = true))
 
   private def writeBuckets(df: DataFrame, dir: HPath): Unit =
     df.repartition($"bucket") // one file per bucket dir

@@ -221,6 +221,40 @@ class EntityStoreSpec extends SparkSpec {
     assert(es.mergedBatches().size === 10)
   }
 
+  test("version GC sweeps dirs stranded below a crash gap, not just the contiguous tail") {
+    val root = tmp("graft_esgap_")
+    val es = new EntityStore(root, spark, retainVersions = 2)
+    for (i <- 1 to 4)
+      es.merge(s"b$i", rows(("u" + i, s"ent$i", "ORG", s"Ent$i", 1L)))
+    // crash simulation: an interrupted earlier prune deleted v=2 but
+    // died before v=1 — recreate the stranded dir below the gap
+    val v1 = java.nio.file.Paths.get(root, "v=1")
+    Files.createDirectories(v1)
+    Files.writeString(v1.resolve("stranded"), "x")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "v=2")))
+    es.merge("b5", rows(("u5", "ent5", "ORG", "Ent5", 1L)))
+    // a downward walk would stop at missing v=2 and leak v=1 forever
+    assert(!Files.exists(v1), "version dir below the gap must be GC'd")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "v=3")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "v=4")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "v=5")))
+  }
+
+  test("batch history window: ids inside the window no-op, older ids fall out (documented contract)") {
+    val es = new EntityStore(tmp("graft_eswin_"), spark, batchHistory = 2)
+    assert(es.merge("b1", rows(("u1", "e", "ORG", "E", 1L))))
+    assert(es.merge("b2", rows(("u2", "e", "ORG", "E", 1L))))
+    assert(es.merge("b3", rows(("u3", "e", "ORG", "E", 1L))))
+    assert(es.mergedBatches() === Set("b2", "b3"),
+      "window keeps the 2 most recent ids")
+    assert(!es.merge("b3", rows(("u3", "e", "ORG", "E", 1L))),
+      "replay inside the window must no-op")
+    assert(!es.merge("b2", rows(("u2", "e", "ORG", "E", 1L))))
+    // b1 fell out of the window: the contract says such a replay is NOT
+    // deduped (orchestrators must not replay beyond the window)
+    assert(es.merge("b1", rows(("u1", "e", "ORG", "E", 1L))))
+  }
+
   test("merge is associative: any url-disjoint split of the corpus gives the same dictionary") {
     import spark.implicits._
     val all = (0 until 120).map { i =>
