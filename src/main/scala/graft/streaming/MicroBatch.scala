@@ -32,8 +32,13 @@ object MicroBatch {
   /** runIndex from timestamps: floor(Δseconds / period)
     * (`simulated_ingestion.py:49-53`).
     */
-  def runIndex(startEpochSec: Long, nowEpochSec: Long, periodSeconds: Long): Long =
+  def runIndex(startEpochSec: Long, nowEpochSec: Long, periodSeconds: Long): Long = {
+    // guard like sliceBounds guards fraction: periodSeconds=0 would give
+    // Infinity.toLong = Long.MaxValue, which loop mode then reduces to a
+    // plausible-looking ARBITRARY slice instead of an error
+    require(periodSeconds > 0, s"periodSeconds must be > 0, got $periodSeconds")
     math.floor((nowEpochSec - startEpochSec).toDouble / periodSeconds).toLong
+  }
 
   /** Distributed slice selector: deterministic global order (orderCol
     * must be unique) WITHOUT a global single-task window. Global row
@@ -51,6 +56,13 @@ object MicroBatch {
     */
   def slice(df: DataFrame, orderCol: String, fraction: Double, runIdx: Long, loop: Boolean): DataFrame = {
     val spark = df.sparkSession
+    // KNOWN extra pass: total could be derived from the per-partition
+    // sizes zipWithIndex computes internally, saving this count's full
+    // evaluation of the input — but that means re-implementing
+    // zipWithIndex (offsets + manual zip) on the determinism-pinned
+    // one-compiled-plan path below. At fixture scale (the only caller
+    // scale) the count is one narrow pass; revisit only with a measured
+    // need.
     val total = df.count()
     val (start, end) = sliceBounds(total, fraction, runIdx, loop)
     if (start == end) return df.limit(0)
@@ -120,6 +132,15 @@ object MicroBatch {
     // StreamingDedup.streamFirstSeenStaged)
     val out = spark.table(queryName)
     spark.catalog.dropTempView(queryName)
+    // the staged single-file copy is only a stream source; the memory
+    // sink holds the result, so the temp dir (a full input copy under
+    // java.io.tmpdir otherwise leaked per invocation) can go now
+    if (dir != src) {
+      val st = java.nio.file.Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally st.close()
+    }
     out
   }
 }

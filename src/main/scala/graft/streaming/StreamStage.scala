@@ -36,6 +36,13 @@ object StreamStage {
         .filter(_.getName.endsWith(".parquet")).head.toPath
       val dst = streamDir.resolve(f"${prefix}_$i%05d.parquet")
       java.nio.file.Files.move(src, dst)
+      // the scratch write dir (committer litter: _SUCCESS, .crc) is done
+      // once its parquet moved out — leaving it leaks one dir per slice
+      // per staging invocation
+      val walk = java.nio.file.Files.walk(part)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(
           MtimeBaseMs + i * MtimeStepMs))
