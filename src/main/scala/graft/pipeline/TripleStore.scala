@@ -184,17 +184,58 @@ final class TripleStore(val root: String, spark: SparkSession,
     seen.toSeq.sorted
   }
 
-  /** Hash-bucket count for the url-hash partition dimension (north_star:
-    * triples "partitioned by lang and url-hash"). 16 buckets × languages
-    * at test scale; a production Iceberg spec would use bucket(256, url).
+  /** MAX hash-bucket count for the url-hash partition dimension
+    * (north_star: triples "partitioned by lang and url-hash"). 16 buckets
+    * × languages at test scale; a production Iceberg spec would use
+    * bucket(256, url). Since round 6 this is the CAP of a scale-adaptive
+    * spread — see [[adaptiveBuckets]]: a batch only pays as many bucket
+    * dirs as its size warrants (guide §2: derive partitioning from input
+    * size, not a constant tuned for one scale; §6: sensible output file
+    * sizing). A batch big enough to fill the cap gets exactly the old
+    * fixed spread.
     */
   val urlBuckets = 16
 
-  /** Bucket count for marker predicates — write-parallelism only (markers
-    * are never bucket-pruned), sized so a marker bucket-task carries about
-    * as many rows as a data bucket-task (~1 marker vs ~4 data rows/page).
+  /** MAX bucket count for marker predicates — write-parallelism only
+    * (markers are never bucket-pruned), sized so a marker bucket-task
+    * carries about as many rows as a data bucket-task (~1 marker vs ~4
+    * data rows/page). Scale-adaptive below the cap like [[urlBuckets]].
     */
   val markerBuckets = 4
+
+  /** Scale-adaptive bucket counts for one commit (data preds, markers).
+    *
+    * The bucket dimension exists for write parallelism and bounded file
+    * sizes — nothing bucket-prunes reads and nothing aligns bucket
+    * values across batches (compaction re-buckets), so the COUNT is free
+    * to follow the batch size: estimated plan bytes / target bytes per
+    * bucket file, clamped to [1, urlBuckets]. A 10-KB fixture batch then
+    * writes preds × langs files instead of preds × langs × 16 sliver
+    * files (the per-file fixed costs dominated commit latency at toy
+    * scale — measured 2.4 s → 0.4 s per commit write), while a
+    * production-size batch still spreads over the full cap.
+    *
+    * Size source is the optimized plan's stats: parquet scans and cached
+    * inputs (every in-repo commit path persists its batch first) size
+    * accurately; an UNKNOWN estimate is conservatively huge and yields
+    * the full spread — never a straggler. Target bytes per bucket file
+    * default 64 MB (in-memory estimate ≈ 2-4× the on-disk parquet, so
+    * files land in the guide's sensible range), overridable via
+    * `graft.store.bucketTargetBytes` for a production profile.
+    */
+  private def adaptiveBuckets(triples: DataFrame): (Int, Int) = {
+    val target = BigInt(sys.props.get("graft.store.bucketTargetBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024))
+    val est = triples.queryExecution.optimizedPlan.stats.sizeInBytes
+    val data =
+      if (est <= 0) urlBuckets // unknown → conservative full spread
+      else ((est + target - 1) / target).min(BigInt(urlBuckets)).max(BigInt(1)).toInt
+    // keep the data:marker task-size ratio of the caps (~4 data rows per
+    // marker row/page), floored at 1
+    val mark = math.max(1, math.min(markerBuckets,
+      (data * markerBuckets + urlBuckets - 1) / urlBuckets))
+    (data, mark)
+  }
 
   /** Atomically commit one batch of triples. The manifest line carries
     * per-partition lineage + metrics (north rule): one (file, rows) entry
@@ -245,6 +286,7 @@ final class TripleStore(val root: String, spark: SparkSession,
     val inCols = triples.columns.toSet
     require(Seq("subj", "pred", "obj").forall(inCols),
       s"commit requires columns subj, pred, obj; got ${triples.columns.mkString(", ")}")
+    val (effDataBuckets, effMarkerBuckets) = adaptiveBuckets(triples)
     val withPartCols = triples
       .select(
         col("subj").cast("string").as("subj"),
@@ -262,11 +304,12 @@ final class TripleStore(val root: String, spark: SparkSession,
       // straggler at 10^8-page commits). markerBuckets balances the two:
       // one marker row/page over markerBuckets ≈ data rows/bucket-task.
       // Data predicates keep the url-hash spread for co-located joins and
-      // scoped deletes.
+      // scoped deletes. Both spreads are scale-adaptive under their caps
+      // — see [[adaptiveBuckets]].
       .withColumn("bucket",
         when(col("pred").startsWith(graft.schema.Pred.Processed),
-          pmod(xxhash64(col("subj")), lit(markerBuckets)))
-          .otherwise(pmod(xxhash64(col("subj")), lit(urlBuckets))))
+          pmod(xxhash64(col("subj")), lit(effMarkerBuckets)))
+          .otherwise(pmod(xxhash64(col("subj")), lit(effDataBuckets))))
     def phase[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
