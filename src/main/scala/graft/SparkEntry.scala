@@ -168,8 +168,12 @@ object SparkEntry {
 
   private def docMentions(s: SparkSession, dir: String) = {
     val trie = s.sparkContext.broadcast(TokenTrie(docGaz))
+    // spread the trie pass over idle cores when the scan is one file
+    // (guide §2.5; no-op on cluster-scale inputs)
     NerExtractor.extractMentions(
-      docs(s, dir).select(col("doc_id").cast("string").as("url"), col("text")),
+      graft.util.Frames.spreadNarrow(
+        docs(s, dir).select(col("doc_id").cast("string").as("url"), col("text")),
+        "url"),
       trie, keepTypes = None)
   }
 
@@ -298,7 +302,11 @@ object SparkEntry {
 
     // --- text / KG operator layer (documents) ---
     "q07_clean_text" -> ((s, d) => {
-      docs(s, d).select(col("doc_id"), Text.cleanText(col("text")).as("cleaned"))
+      // spread the clean pass (guide §2.5): the one-file scan otherwise
+      // runs the whole regex chain on a single core
+      graft.util.Frames.spreadNarrow(
+          docs(s, d).select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), Text.cleanText(col("text")).as("cleaned"))
         .orderBy(col("doc_id"))
     }),
     "q08_token_stats" -> ((s, d) => {

@@ -92,9 +92,15 @@ object ConnectedComponents {
       .union(e.select($"b".as("u"), $"a".as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // labels(node, comp) — start with comp = node
-    var labels = sym.select($"u".as("node")).distinct()
-      .withColumn("comp", $"node")
+    // labels(node, comp) — the FIRST HashMin round is fused into the
+    // initialization: with labels₀ = node, round 1's "min over the closed
+    // neighborhood" is just least(node, min(neighbor id)), and the node
+    // set itself comes from the same grouping — one aggregation replaces
+    // the distinct + first join+agg round (r06: one fewer materialized
+    // round on every invocation; identical labels, CanonSpec-pinned)
+    var labels = sym.groupBy($"u")
+      .agg(min($"v").as("_nmin"))
+      .select($"u".as("node"), least($"u", $"_nmin").as("comp"))
       .localCheckpoint()
 
     var converged = false

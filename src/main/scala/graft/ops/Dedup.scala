@@ -197,8 +197,15 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.Registry.ensure(spark)
-    val withSig = docs.select(col(idCol).cast("long").as("id"),
-        posexplode(graft.functions.Registry.minhashBands(col(textCol), p))
+    // project to the two needed columns BEFORE the spread (guide §2.3 —
+    // don't shuffle payload columns the signature never reads), then
+    // spread the CPU-heavy signature pass over idle cores when the scan
+    // is under-partitioned (guide §2.5; no-op on cluster-scale inputs)
+    val src = graft.util.Frames.spreadNarrow(
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("_txt")),
+      "id")
+    val withSig = src.select(col("id"),
+        posexplode(graft.functions.Registry.minhashBands(col("_txt"), p))
           .as(Seq("band", "band_hash")))
       .select(col("band"), col("band_hash"), col("id"))
     cappedPairs(withSig, Seq("band", "band_hash"), maxBucket)
@@ -355,9 +362,14 @@ object Dedup {
     import spark.implicits._
     graft.functions.Registry.ensure(spark)
     // signature via the codegen SimHash64 Expression (≡ the former typed
-    // map, parity-spec'd): the whole pairs plan stays in Catalyst
-    val sigs = docs.select(col(idCol).cast("long").as("id"),
-      graft.functions.Registry.simhash64(col(textCol)).as("sim"))
+    // map, parity-spec'd): the whole pairs plan stays in Catalyst.
+    // Project-then-spread as in minHashCandidates: the signature pass is
+    // the plan's CPU center and must not serialize on a one-file scan.
+    val sigs = graft.util.Frames.spreadNarrow(
+        docs.select(col(idCol).cast("long").as("id"), col(textCol).as("_txt")),
+        "id")
+      .select(col("id"),
+        graft.functions.Registry.simhash64(col("_txt")).as("sim"))
     // the 64-bit signature rides the band rows as the cappedPairs payload
     // (ONE long — cheap on the wire, and it saves recomputing the whole
     // signature map twice more for id-joins; contrast embeddingNearDup,
@@ -396,9 +408,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val shAll = docs
-      .select(col(idCol).as("id"),
-        explode_outer(expr(s"transform(sequence(1, greatest(length($textCol) - 11, 1), 4), i -> substring($textCol, i, 12))")).as("sh"))
+    // spread the substring-explode pass (guide §2.5, as minHashCandidates)
+    val src = graft.util.Frames.spreadNarrow(
+      docs.select(col(idCol).as("id"), col(textCol).as("_txt")), "id")
+    val shAll = src
+      .select(col("id"),
+        explode_outer(expr("transform(sequence(1, greatest(length(_txt) - 11, 1), 4), i -> substring(_txt, i, 12))")).as("sh"))
       .distinct()
     // stop-shingle filter: one map-side-combined agg over (sh), tiny wire
     val hot = shAll.groupBy($"sh").agg(count(lit(1)).as("df"))

@@ -50,19 +50,49 @@ object StreamingDedup {
       }
   }
 
-  /** Deterministic end-to-end [[firstSeen]] run over a parquet events
+  /** First-seen pass-through that emits each key's MIN value within the
+    * first micro-batch that contains the key — the [[firstSeen]] contract
+    * specialized to ordered values so that a trigger may carry SEVERAL
+    * chronological input files and stay value-deterministic:
+    * `rows.take(1)` picks an arbitrary row when a batch mixes buckets,
+    * `rows.min` does not. With chronologically-staged input (earlier
+    * buckets never arrive in later triggers), the first batch containing
+    * a key contains its earliest bucket, so the emitted value is exactly
+    * the key's global min — independent of how many files each trigger
+    * absorbs. That turns `maxFilesPerTrigger` into a pure
+    * throughput/latency knob (optimization guide §1: per-trigger fixed
+    * costs — offset log, state-store commit, checkpoint — amortize over
+    * the batch) instead of a correctness requirement.
+    */
+  def firstSeenMin[V: Ordering](
+      ds: Dataset[(String, V)])(implicit
+      ev: Encoder[V],
+      etup: Encoder[(String, V)]): Dataset[(String, V)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, V)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, V)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // key seen in an earlier batch
+          else {
+            state.update(true)
+            Iterator.single(key -> rows.map(_._2).min)
+          }
+      }
+  }
+
+  /** Deterministic end-to-end first-seen run over a parquet events
     * table, oracle-expressible as `GROUP BY user_id → min(bucket)`.
     *
-    * [[firstSeen]]'s `rows.take(1)` is order-nondeterministic WITHIN a
-    * micro-batch, so a value-level oracle needs every row of a key inside
-    * one micro-batch to carry the SAME value. This helper arranges that:
-    * events are staged one file per coarse time bucket
+    * Events are staged one file per coarse time bucket
     * (`floor(epoch(ts) / bucketSeconds)`), file mtimes strictly increase
-    * in bucket order, and the stream reads with `maxFilesPerTrigger=1` —
-    * the file source processes oldest-mtime first, so micro-batches
-    * arrive in chronological bucket order and the emitted value per key
-    * is exactly `min(bucket)`. This is the J2 "process a url once"
-    * contract made observable: which batch first saw the key.
+    * in bucket order, and the file source processes oldest-mtime first —
+    * micro-batches arrive in chronological bucket order and the emitted
+    * value per key is exactly `min(bucket)` ([[firstSeenMin]]). This is
+    * the J2 "process a url once" contract made observable: which batch
+    * first saw the key.
     *
     * Scale: the per-bucket staging loop is bounded by time-span /
     * bucketSeconds (independent of row count); a production deployment
@@ -120,11 +150,17 @@ object StreamingDedup {
       streamDir: String,
       queryName: String): DataFrame = {
     import spark.implicits._
+    // maxFilesPerTrigger=4: a throughput knob, not a correctness one —
+    // firstSeenMin keeps the emitted value ≡ min(bucket) whatever the
+    // trigger grouping (see its doc). One-file triggers paid ~20 trigger
+    // fixed costs (offset log + state commit + checkpoint each) for this
+    // table's week count; 4 keeps several CROSS-batch state lookups in
+    // play (the thing the operator demonstrates) at a quarter the cost.
     val stream = spark.readStream
       .schema(StructType.fromDDL("user_id BIGINT, bucket BIGINT"))
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "4")
       .parquet(streamDir)
-    val deduped = firstSeen(
+    val deduped = firstSeenMin(
       stream.select(col("user_id").cast("string"), col("bucket")).as[(String, Long)])
     val q = deduped.toDF("user_key", "first_bucket")
       .writeStream.outputMode("append").format("memory").queryName(queryName)

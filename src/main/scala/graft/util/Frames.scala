@@ -12,4 +12,22 @@ object Frames {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** Spread a CPU-heavy narrow pass over the session's parallelism when
+    * the input arrives in fewer partitions (optimization guide §2.5,
+    * "input skew": one small or unsplittable file serializes the whole
+    * pass on a single core — measured 3.2 s of one-task signature
+    * compute with 31 cores idle on a single-file parquet scan). Gated:
+    * a scan already at least half as parallel as the session passes
+    * through untouched, so a cluster-scale input never pays the extra
+    * exchange — this only fires where the alternative is a one-core
+    * straggler. Hash-partitioned on `keyCol` (deterministic row→task
+    * assignment; round-robin would pay sortBeforeRepartition and its
+    * retry-determinism caveats).
+    */
+  def spreadNarrow(df: DataFrame, keyCol: String): DataFrame = {
+    val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 >= want) df
+    else df.repartition(want, org.apache.spark.sql.functions.col(keyCol))
+  }
 }

@@ -56,4 +56,30 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got === Seq((1L, 0L), (2L, 1L), (3L, 3L), (4L, 0L)))
     assert(run("b") === got) // deterministic across runs
   }
+
+  test("firstSeenMin emits the min value even when one batch mixes buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the r06 trigger-batching change rests on this: a trigger absorbing
+    // SEVERAL chronological files hands the state function a mixed-bucket
+    // iterator, and the emitted value must still be the key's min —
+    // take(1)-style arbitrary-row emission would be nondeterministic here
+    val input = MemoryStream[(String, Long)]
+    val out = StreamingDedup.firstSeenMin(input.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("dedup_min_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData(("u1", 5L), ("u1", 2L), ("u1", 9L), ("u2", 7L))
+      q.processAllAvailable()
+      input.addData(("u1", 0L), ("u3", 4L), ("u3", 6L)) // u1 already seen
+      q.processAllAvailable()
+      val got = spark.table("dedup_min_out").as[(String, Long)]
+        .collect().toMap
+      assert(got === Map("u1" -> 2L, "u2" -> 7L, "u3" -> 4L))
+      assert(spark.table("dedup_min_out").count() === 3L)
+    } finally q.stop()
+  }
 }
