@@ -67,20 +67,6 @@ import graft.schema.EntityRecord
   */
 final class EntityStore(val root: String, spark: SparkSession,
     retainVersions: Int = 2,
-    /** Hash-bucket count for the dictionary partition dimension, FIXED
-      * at store creation (an Iceberg-partition-spec-style property: the
-      * dirty-bucket merge needs every version bucketed by the same
-      * function). [[EntityStore.AutoBuckets]] (the default) sizes it
-      * from the FIRST merged batch — optimization guide §2: derive
-      * partitioning from input size instead of a constant tuned for one
-      * scale; a fixture-sized store then stops paying ~32 sliver files
-      * per table per merge — and records the choice in a `_buckets`
-      * sidecar so every later merge (and any pre-sidecar store, which
-      * falls back to the legacy 32) keeps the geometry. Explicit counts
-      * are honored verbatim (specs pin the multi-bucket link machinery
-      * this way; a production store sizes for its corpus, 256-4096).
-      */
-    buckets: Int = EntityStore.AutoBuckets,
     /** How many of the most recent merged batch ids each version
       * remembers — the REPLAY-IDEMPOTENCE WINDOW. A replayed merge of a
       * batch inside the window is a no-op; older ids are forgotten, so
@@ -94,7 +80,6 @@ final class EntityStore(val root: String, spark: SparkSession,
     batchHistory: Int = 100000) {
   require(retainVersions >= 1, "retainVersions must be >= 1")
   require(batchHistory >= 1, "batchHistory must be >= 1")
-  require(buckets >= 0, "buckets must be >= 0 (0 = AutoBuckets)")
 
   import spark.implicits._
   import EntityStore.dictBuckets
@@ -110,41 +95,6 @@ final class EntityStore(val root: String, spark: SparkSession,
 
   private def latestPtr: HPath = sfs.path("_latest")
   private def versionDir(v: Long): HPath = sfs.path(s"v=$v")
-  private def bucketsPath: HPath = sfs.path("_buckets")
-
-  /** The store's bucket count — resolved once per JVM handle, sticky per
-    * store (see the `buckets` param doc). Resolution order: `_buckets`
-    * sidecar → explicit constructor count → legacy 32 for a pre-sidecar
-    * store with versions → sized from the first batch (AutoBuckets).
-    * The sidecar is published BEFORE the first version dir, so a crash
-    * between the two leaves a deterministic geometry for the retry.
-    */
-  private var resolvedBuckets: Int = 0
-
-  private def bucketCount(firstBatchRows: => Long): Int = {
-    if (resolvedBuckets > 0) return resolvedBuckets
-    val n =
-      if (sfs.exists(bucketsPath)) sfs.readString(bucketsPath).trim.toInt
-      else {
-        val chosen =
-          if (buckets > 0) buckets
-          else if (currentVersion() > 0L) dictBuckets // pre-sidecar store
-          else {
-            // AutoBuckets: one bucket per targetRows of the first batch's
-            // surface rows, clamped to the legacy cap (the cap stays the
-            // production-profile knob; the constructor takes bigger)
-            val rows = math.max(firstBatchRows, 1L)
-            val target = 4096L
-            ((rows + target - 1) / target).min(dictBuckets.toLong).toInt
-          }
-        sfs.writeStringAtomic(bucketsPath, chosen.toString,
-          tmpName = "_buckets.tmp")
-        chosen
-      }
-    require(n >= 1, s"corrupt _buckets sidecar: $n")
-    resolvedBuckets = n
-    n
-  }
 
   private def currentVersion(): Long =
     if (sfs.exists(latestPtr)) sfs.readString(latestPtr).trim.toLong else 0L
@@ -183,9 +133,9 @@ final class EntityStore(val root: String, spark: SparkSession,
   private def news(): DataFrame =
     table(currentVersion(), "news", newsDDL).drop("bucket")
 
-  private def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
+  private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket",
-      pmod(xxhash64($"entity_text_norm"), lit(nBuckets)).cast("int"))
+      pmod(xxhash64($"entity_text_norm"), lit(dictBuckets)).cast("int"))
 
   /** MERGE one batch of per-page surface rows
     * (url, entity_text_norm, entity_type, entity_text, n) into the store.
@@ -195,20 +145,15 @@ final class EntityStore(val root: String, spark: SparkSession,
     val alreadyOrdered = mergedBatchesOrdered()
     if (alreadyOrdered.contains(batchId)) return false
     val v = currentVersion()
-    val aggSurf = surfaceRows
+    val batchSurf = withBucket(surfaceRows
       .groupBy($"entity_text_norm", $"entity_type", $"entity_text")
-      .agg(sum($"n").as("surface_count"))
+      .agg(sum($"n").as("surface_count")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // resolve (or size, on the store's first merge) the bucket geometry;
-    // the count is over the persisted aggregate, so the extra pass is a
-    // cache scan, and only the first merge of an AutoBuckets store pays it
-    val nBuckets = bucketCount(aggSurf.count())
-    val batchSurf = withBucket(aggSurf, nBuckets)
     try {
       val batchNews = withBucket(surfaceRows
         .select($"entity_text_norm", $"entity_type", $"url").distinct()
         .groupBy($"entity_text_norm", $"entity_type")
-        .agg(count(lit(1)).as("news_count")), nBuckets)
+        .agg(count(lit(1)).as("news_count")))
       // dirty buckets: only these are re-aggregated and rewritten; the
       // dict-key shuffle is over (current-dirty ∪ delta), not the corpus
       val dirty = batchSurf.select($"bucket").distinct()
@@ -239,7 +184,7 @@ final class EntityStore(val root: String, spark: SparkSession,
         tmpName = s"_latest.tmp$next")
       pruneVersions(next)
       true
-    } finally aggSurf.unpersist(blocking = false)
+    } finally batchSurf.unpersist(blocking = false)
   }
 
   /** Delete version dirs older than `retainVersions` behind `current`.
@@ -288,15 +233,9 @@ final class EntityStore(val root: String, spark: SparkSession,
 }
 
 object EntityStore {
-  /** MAX hash-bucket count an [[AutoBuckets]]-sized store may pick (and
-    * the geometry pre-sidecar stores keep). 32 at test scale; a
-    * production store passes an explicit 256-4096 to the constructor so
-    * a typical batch dirties a fraction of the dictionary.
+  /** Hash-bucket count for the dictionary partition dimension. 32 at
+    * test scale; a production store would use 256-4096 so a typical
+    * batch dirties a fraction of the dictionary.
     */
   val dictBuckets = 32
-
-  /** Sentinel `buckets` value: size the bucket count from the first
-    * merged batch (see the constructor param doc).
-    */
-  val AutoBuckets = 0
 }

@@ -43,6 +43,12 @@ object DistributedTrainer {
       k: Int = 6,
       seed: Long = 31415L)
 
+  /** Largest vocabulary for the local dense-Gramian SVD path (4096² × 8 B
+    * = 128 MB on the driver); above it training falls back to
+    * `computeSVD`'s auto-selected iterative/distributed modes.
+    */
+  val DenseSvdMaxVocab = 4096
+
   /** @param cleaned DataFrame with an already-cleaned text column
     * @return (frozen model params, training silhouette)
     */
@@ -106,29 +112,40 @@ object DistributedTrainer {
 
     // TruncatedSVD: V from the sparse RowMatrix; transform is X·V.
     // V's columns are the top right singular vectors of X = the top
-    // eigenvectors of the Gramian XᵀX, so compute the Gramian (ONE
-    // distributed treeAggregate pass — public RowMatrix API) and take a
-    // LOCAL dense SVD of the vocab×vocab result. This is exactly
-    // `computeSVD`'s LocalLAPACK mode, chosen explicitly: the public
-    // computeSVD entry auto-picks LocalARPACK at this shape (k ≤ n/2),
-    // which pays hundreds of iterative multiplies + ARPACK warmup for
-    // the same factorization (measured 2.9 s → the Gramian pass alone
-    // here). The matrix is vocab-bounded — vocabSize² doubles (512² =
-    // 2 MB) on the driver, the same Gramian ARPACK holds anyway.
-    // Rank handling unchanged: near-zero singular values are dropped
-    // (computeSVD's rCond=1e-9 cut) and the missing components
-    // zero-padded instead of indexing past V (beyond-rank dimensions
-    // contribute exactly 0 to the projection).
-    val gram = new RowMatrix(tfidf).computeGramianMatrix()
-    val nCols = gram.numCols
-    val gb = new breeze.linalg.DenseMatrix[Double](nCols, nCols, gram.toArray)
-    val brz = breeze.linalg.svd(gb) // symmetric PSD: U = eigvecs, σ(G) = σ(X)²
-    val sigmas = brz.singularValues.toArray.map(v => math.sqrt(math.max(v, 0.0)))
-    val sigma0 = if (sigmas.nonEmpty) sigmas(0) else 0.0
-    val rank = math.min(cfg.nComponents,
-      if (sigma0 <= 0.0) 0 else sigmas.count(_ > 1e-9 * sigma0))
-    val components = Array.tabulate(vocab.length, cfg.nComponents)(
-      (i, j) => if (j < rank) brz.U(i, j) else 0.0)
+    // eigenvectors of the Gramian XᵀX, so for vocabularies up to
+    // [[DenseSvdMaxVocab]] compute the Gramian (ONE distributed
+    // treeAggregate pass — public RowMatrix API) and take a LOCAL dense
+    // SVD of the vocab×vocab result. This is exactly `computeSVD`'s
+    // LocalLAPACK mode, chosen explicitly: the public computeSVD entry
+    // auto-picks LocalARPACK at this shape (k ≤ n/2), which pays
+    // hundreds of iterative multiplies + ARPACK warmup for the same
+    // factorization (measured 2.9 s → the Gramian pass alone here).
+    // Rank handling unchanged on both branches: near-zero singular
+    // values are dropped (computeSVD's rCond=1e-9 cut) and the missing
+    // components zero-padded instead of indexing past V (beyond-rank
+    // dimensions contribute exactly 0 to the projection).
+    // Driver-memory guard: the dense Gramian is vocab² doubles (4096² =
+    // 128 MB); above that the old computeSVD entry (which auto-selects
+    // an iterative/distributed mode and never materializes the dense
+    // n×n matrix beyond what ARPACK itself holds) stays the right tool.
+    val components =
+      if (vocab.length <= DenseSvdMaxVocab) {
+        val gram = new RowMatrix(tfidf).computeGramianMatrix()
+        val nCols = gram.numCols
+        val gb = new breeze.linalg.DenseMatrix[Double](nCols, nCols, gram.toArray)
+        val brz = breeze.linalg.svd(gb) // symmetric PSD: U = eigvecs, σ(G) = σ(X)²
+        val sigmas = brz.singularValues.toArray.map(v => math.sqrt(math.max(v, 0.0)))
+        val sigma0 = if (sigmas.nonEmpty) sigmas(0) else 0.0
+        val rank = math.min(cfg.nComponents,
+          if (sigma0 <= 0.0) 0 else sigmas.count(_ > 1e-9 * sigma0))
+        Array.tabulate(vocab.length, cfg.nComponents)(
+          (i, j) => if (j < rank) brz.U(i, j) else 0.0)
+      } else {
+        val svd = new RowMatrix(tfidf).computeSVD(cfg.nComponents, computeU = false)
+        val rank = svd.V.numCols
+        Array.tabulate(vocab.length, cfg.nComponents)(
+          (i, j) => if (j < rank) svd.V(i, j) else 0.0)
+      }
     val compsBc = spark.sparkContext.broadcast(components)
 
     // reduced + Normalizer, then KMeans on the dense low-dim rows

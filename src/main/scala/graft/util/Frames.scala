@@ -26,7 +26,24 @@ object Frames {
     * retry-determinism caveats).
     */
   def spreadNarrow(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Inspect the OPTIMIZED LOGICAL plan, never the compiled RDD, to
+    // decide whether the input can be under-partitioned: under AQE,
+    // `df.rdd` on a plan WITH exchanges materializes every shuffle stage
+    // at plan time, and that work is not reused by the real action. A
+    // plan containing anything beyond scan/project/filter/generate (and
+    // the typed-API wrappers) is post-shuffle — already at session
+    // parallelism — so the spread is skipped without compiling anything.
+    val narrowOnly = df.queryExecution.optimizedPlan.collectFirst {
+      case p if !(p.isInstanceOf[LeafNode] || p.isInstanceOf[Project] ||
+        p.isInstanceOf[Filter] || p.isInstanceOf[Generate] ||
+        p.isInstanceOf[SerializeFromObject] || p.isInstanceOf[DeserializeToObject] ||
+        p.isInstanceOf[MapPartitions] || p.isInstanceOf[TypedFilter] ||
+        p.isInstanceOf[SubqueryAlias]) => p
+    }.isEmpty
+    if (!narrowOnly) return df
     val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    // .rdd is safe here: a narrow-only plan has no stages to materialize
     if (df.rdd.getNumPartitions * 2 >= want) df
     else df.repartition(want, org.apache.spark.sql.functions.col(keyCol))
   }

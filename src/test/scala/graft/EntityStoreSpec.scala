@@ -25,43 +25,6 @@ class EntityStoreSpec extends SparkSpec {
     xs.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
   }
 
-  test("AutoBuckets sizes the spread from the first batch and records it") {
-    val root = tmp("graft_esauto_")
-    val es = new EntityStore(root, spark)
-    assert(es.merge("b1", rows(
-      ("u1", "spark", "ORG", "Spark", 2L), ("u2", "paris", "GPE", "Paris", 1L))))
-    // a fixture-sized first batch must not fan out over the full cap —
-    // and the choice must be RECORDED so every later merge (and any
-    // other handle) keeps the same bucket function
-    val sidecar = java.nio.file.Paths.get(root, "_buckets")
-    assert(Files.exists(sidecar), "_buckets sidecar must be published")
-    val n = Files.readString(sidecar).trim.toInt
-    assert(n === 1, s"tiny first batch must size to 1 bucket, got $n")
-    // a SECOND handle (fresh JVM analogue) merges under the same geometry
-    val es2 = new EntityStore(root, spark)
-    assert(es2.merge("b2", rows(("u3", "spark", "ORG", "SPARK", 3L))))
-    val full = graft.link.EntityLink.dictFromSurfaceRows(rows(
-      ("u1", "spark", "ORG", "Spark", 2L), ("u2", "paris", "GPE", "Paris", 1L),
-      ("u3", "spark", "ORG", "SPARK", 3L))).toDF()
-      .orderBy("entity_text_norm").collect().toSeq
-    assert(es2.dict().toDF().orderBy("entity_text_norm").collect().toSeq === full)
-  }
-
-  test("a pre-sidecar store keeps the legacy 32-bucket geometry") {
-    val root = tmp("graft_eslegacy_")
-    val es = new EntityStore(root, spark, buckets = EntityStore.dictBuckets)
-    assert(es.merge("b1", rows(("u1", "spark", "ORG", "Spark", 2L))))
-    // simulate a store written before the sidecar existed
-    Files.delete(java.nio.file.Paths.get(root, "_buckets"))
-    val es2 = new EntityStore(root, spark)
-    assert(es2.merge("b2", rows(("u2", "spark", "ORG", "Spark", 1L))))
-    assert(Files.readString(java.nio.file.Paths.get(root, "_buckets")).trim.toInt
-      === EntityStore.dictBuckets,
-      "versions without a sidecar must resolve to the legacy bucket count")
-    val got = es2.dict().toDF().collect().toSeq
-    assert(got.size === 1 && got.head.getAs[Long]("entity_mentions_count") === 3L)
-  }
-
   test("two merged batches equal a full recompute over the union") {
     val es = new EntityStore(tmp("graft_es_"), spark)
     val b1 = rows(
@@ -187,9 +150,7 @@ class EntityStoreSpec extends SparkSpec {
   test("merge rewrites only dirty buckets; clean buckets ride forward as links") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_esb_").toString
-    // explicit bucket count: this spec tests the multi-bucket link
-    // machinery, which AutoBuckets would size away at fixture scale
-    val es = new EntityStore(root, spark, buckets = EntityStore.dictBuckets)
+    val es = new EntityStore(root, spark)
     // batch 1 populates many buckets
     val b1 = (0 until 200).map(i => (s"u$i", s"ent$i", "ORG", s"Ent$i", 1L))
       .toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")

@@ -55,9 +55,7 @@ class PortableFsSpec extends SparkSpec {
   test("EntityStore merge cycle through a file:// Hadoop root (hard-link fast path kept)") {
     import spark.implicits._
     val root = schemeRoot("graft_pfs_es_")
-    // explicit buckets: the hard-link fast path needs clean buckets to
-    // exist, which AutoBuckets would collapse at this fixture size
-    val es = new EntityStore(root, spark, buckets = EntityStore.dictBuckets)
+    val es = new EntityStore(root, spark)
     def rows(xs: (String, String, String, String, Long)*) =
       xs.toDF("url", "entity_text_norm", "entity_type", "entity_text", "n")
     // batch 1 spreads over many buckets; batch 2 dirties just spark's —
