@@ -168,12 +168,11 @@ object SparkEntry {
 
   private def docMentions(s: SparkSession, dir: String) = {
     val trie = s.sparkContext.broadcast(TokenTrie(docGaz))
-    // spread the trie pass over idle cores when the scan is one file
-    // (guide §2.5; no-op on cluster-scale inputs)
+    // NOT spread (r06): the trie pass is ~0.3 s serial here — an A/B of
+    // spreadNarrow on this input regressed q12/q13/q14/q40 consistently
+    // (the extra text shuffle costs more than the lost parallelism)
     NerExtractor.extractMentions(
-      graft.util.Frames.spreadNarrow(
-        docs(s, dir).select(col("doc_id").cast("string").as("url"), col("text")),
-        "url"),
+      docs(s, dir).select(col("doc_id").cast("string").as("url"), col("text")),
       trie, keepTypes = None)
   }
 
@@ -302,11 +301,10 @@ object SparkEntry {
 
     // --- text / KG operator layer (documents) ---
     "q07_clean_text" -> ((s, d) => {
-      // spread the clean pass (guide §2.5): the one-file scan otherwise
-      // runs the whole regex chain on a single core
-      graft.util.Frames.spreadNarrow(
-          docs(s, d).select(col("doc_id"), col("text")), "doc_id")
-        .select(col("doc_id"), Text.cleanText(col("text")).as("cleaned"))
+      // NOT spread (r06): an A/B of spreadNarrow here measured 1.6 →
+      // 1.9 s across three captures — the extra raw-text shuffle costs
+      // more than parallelizing the ~1.3 s clean pass buys back
+      docs(s, d).select(col("doc_id"), Text.cleanText(col("text")).as("cleaned"))
         .orderBy(col("doc_id"))
     }),
     "q08_token_stats" -> ((s, d) => {
